@@ -1,0 +1,236 @@
+"""L1 shared scene/ABI types.
+
+TPU-native equivalent of the Swift<->MSL shared header
+(reference: MetalRaytracing/ShaderTypes.h:23-107).  Where the reference shares
+C structs between host and device, we share JAX pytrees (NamedTuples of
+arrays) between scene construction and jitted kernels.  Tables that the
+reference stores as arrays-of-structs (lights, materials) become
+structs-of-arrays — the layout the TPU VPU actually wants.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import NamedTuple, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+
+class LightType(enum.IntEnum):
+    """Light type tags (reference: ShaderTypes.h:67-74)."""
+
+    UNUSED = 0
+    SUN = 1
+    SPOT = 2
+    POINT = 3
+    AREA = 4
+
+
+class Camera(NamedTuple):
+    """Pinhole camera basis (reference: ShaderTypes.h:60-65).
+
+    ``right``/``up`` are pre-scaled by the image-plane half extents, exactly as
+    ``Scene.setupCamera`` does (reference: Scene.swift:40-57).
+    """
+
+    position: jnp.ndarray  # (3,) f32
+    right: jnp.ndarray  # (3,) f32, scaled by image-plane half width
+    up: jnp.ndarray  # (3,) f32, scaled by image-plane half height
+    forward: jnp.ndarray  # (3,) f32
+
+
+def make_camera(
+    position=(0.0, 1.0, 5.38),
+    right=(1.0, 0.0, 0.0),
+    up=(0.0, 1.0, 0.0),
+    forward=(0.0, 0.0, -1.0),
+    fov_degrees: float = 45.0,
+    aspect: float = 1.0,
+) -> Camera:
+    """Build a camera with image-plane scaled basis vectors.
+
+    Mirrors ``Scene.setupCamera`` (reference: Scene.swift:40-57): the default
+    pose is position (0, 1, 5.38) looking down -Z with a 45 degree vertical
+    field of view; ``right`` is scaled by aspect * tan(fov/2), ``up`` by
+    tan(fov/2).
+    """
+    half_h = float(np.tan(np.radians(fov_degrees) / 2.0))
+    half_w = aspect * half_h
+    return Camera(
+        position=jnp.asarray(position, jnp.float32),
+        right=jnp.asarray(right, jnp.float32) * half_w,
+        up=jnp.asarray(up, jnp.float32) * half_h,
+        forward=jnp.asarray(forward, jnp.float32),
+    )
+
+
+class Light(NamedTuple):
+    """A single light (reference: ShaderTypes.h:76-87).
+
+    The reference packs all light kinds into one struct with a type tag; we do
+    the same so the light table is a rectangular SoA and the per-type shading
+    switch can be a branchless ``jnp.select``.
+    """
+
+    type: jnp.ndarray  # () i32, LightType value
+    position: jnp.ndarray  # (3,) f32
+    color: jnp.ndarray  # (3,) f32
+    forward: jnp.ndarray  # (3,) f32   (area light emitter normal)
+    right: jnp.ndarray  # (3,) f32   (area light half-extent)
+    up: jnp.ndarray  # (3,) f32   (area light half-extent)
+    cone_angle: jnp.ndarray  # () f32    (spot light)
+    direction: jnp.ndarray  # (3,) f32   (spot/sun)
+
+
+def _light(
+    type_, position=(0, 0, 0), color=(0, 0, 0), forward=(0, 0, 0),
+    right=(0, 0, 0), up=(0, 0, 0), cone_angle=0.0, direction=(0, 0, 0),
+) -> Light:
+    return Light(
+        type=jnp.asarray(int(type_), jnp.int32),
+        position=jnp.asarray(position, jnp.float32),
+        color=jnp.asarray(color, jnp.float32),
+        forward=jnp.asarray(forward, jnp.float32),
+        right=jnp.asarray(right, jnp.float32),
+        up=jnp.asarray(up, jnp.float32),
+        cone_angle=jnp.asarray(cone_angle, jnp.float32),
+        direction=jnp.asarray(direction, jnp.float32),
+    )
+
+
+def area_light(position, forward, right, up, color) -> Light:
+    """Factory mirroring ``Light.areaLight`` (reference: Scene.swift:71-81)."""
+    return _light(LightType.AREA, position=position, color=color,
+                  forward=forward, right=right, up=up)
+
+
+def sun_light(direction, color) -> Light:
+    """Factory mirroring ``Light.sunLight`` (reference: Scene.swift:83-89)."""
+    return _light(LightType.SUN, direction=direction, color=color)
+
+
+def point_light(position, color) -> Light:
+    """Factory mirroring ``Light.pointLight`` (reference: Scene.swift:91-97)."""
+    return _light(LightType.POINT, position=position, color=color)
+
+
+def spot_light(position, direction, cone_angle, color) -> Light:
+    """Factory mirroring ``Light.spotLight`` (reference: Scene.swift:99-107)."""
+    return _light(LightType.SPOT, position=position, direction=direction,
+                  cone_angle=cone_angle, color=color)
+
+
+class LightTable(NamedTuple):
+    """SoA light table — the device-side ``lightBuffer`` equivalent
+    (reference: Scene.swift:32-33)."""
+
+    type: jnp.ndarray  # (L,) i32
+    position: jnp.ndarray  # (L, 3) f32
+    color: jnp.ndarray  # (L, 3) f32
+    forward: jnp.ndarray  # (L, 3) f32
+    right: jnp.ndarray  # (L, 3) f32
+    up: jnp.ndarray  # (L, 3) f32
+    cone_angle: jnp.ndarray  # (L,) f32
+    direction: jnp.ndarray  # (L, 3) f32
+
+    @property
+    def count(self) -> int:
+        return int(self.type.shape[0])
+
+
+def pack_lights(lights: Sequence[Light]) -> LightTable:
+    """Stack individual lights into the SoA table."""
+    if not lights:
+        raise ValueError("scene needs at least one light")
+    return LightTable(
+        type=jnp.stack([l.type for l in lights]),
+        position=jnp.stack([l.position for l in lights]),
+        color=jnp.stack([l.color for l in lights]),
+        forward=jnp.stack([l.forward for l in lights]),
+        right=jnp.stack([l.right for l in lights]),
+        up=jnp.stack([l.up for l in lights]),
+        cone_angle=jnp.stack([l.cone_angle for l in lights]),
+        direction=jnp.stack([l.direction for l in lights]),
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class Material:
+    """Host-side material record (reference: ShaderTypes.h:100-108).
+
+    Populated from MTL files the same way ``Material.init(material:)``
+    populates from MDLMaterial (reference: SubMesh.swift:37-54): Kd→base_color,
+    Ks→specular, Ke→emission, Ns→specular_exponent, Ni→refraction_index,
+    d→dissolve.
+    """
+
+    base_color: tuple = (0.0, 0.0, 0.0)
+    specular: tuple = (0.0, 0.0, 0.0)
+    emission: tuple = (0.0, 0.0, 0.0)
+    specular_exponent: float = 0.0
+    refraction_index: float = 0.0
+    dissolve: float = 1.0
+    name: str = ""
+
+
+class MaterialTable(NamedTuple):
+    """SoA material table indexed by per-triangle material id."""
+
+    base_color: jnp.ndarray  # (M, 3) f32
+    specular: jnp.ndarray  # (M, 3) f32
+    emission: jnp.ndarray  # (M, 3) f32
+    specular_exponent: jnp.ndarray  # (M,) f32
+    refraction_index: jnp.ndarray  # (M,) f32
+    dissolve: jnp.ndarray  # (M,) f32
+
+    @property
+    def count(self) -> int:
+        return int(self.base_color.shape[0])
+
+
+def pack_materials(materials: Sequence[Material]) -> MaterialTable:
+    if not materials:
+        materials = [Material(base_color=(1.0, 1.0, 1.0))]
+    return MaterialTable(
+        base_color=jnp.asarray([m.base_color for m in materials], jnp.float32),
+        specular=jnp.asarray([m.specular for m in materials], jnp.float32),
+        emission=jnp.asarray([m.emission for m in materials], jnp.float32),
+        specular_exponent=jnp.asarray(
+            [m.specular_exponent for m in materials], jnp.float32),
+        refraction_index=jnp.asarray(
+            [m.refraction_index for m in materials], jnp.float32),
+        dissolve=jnp.asarray([m.dissolve for m in materials], jnp.float32),
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static render configuration — the jit-time equivalent of the
+    reference's ``Uniforms`` + Metal function constants
+    (reference: ShaderTypes.h:89-98; Renderer.swift:87-94).
+
+    Frozen + hashable so it can be a static argument to ``jax.jit``, mirroring
+    how ``resourcesStride``/``maxSubmeshes`` specialize the Metal pipeline at
+    creation time.
+    """
+
+    width: int = 512
+    height: int = 512
+    spp: int = 1  # samples per pixel (reference renders 1/frame progressively)
+    max_bounces: int = 3  # reference hardcodes 3 (Raytracing.metal:237)
+    rand_offset_bits: int = 20  # arc4random() % 2^20 (Renderer.swift:263-270)
+    seed: int = 0
+    # Traversal backend: "bruteforce" | "cluster" | "pallas"
+    tracer: str = "cluster"
+    cluster_size: int = 64  # triangles per BVH leaf cluster
+    ray_block: int = 256  # rays per Pallas block
+    # Shade extensions beyond the reference's diffuse-only shading
+    enable_specular: bool = False
+    enable_emission: bool = False
+    env_map: bool = False
+
+    @property
+    def num_pixels(self) -> int:
+        return self.width * self.height
