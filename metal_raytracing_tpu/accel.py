@@ -1,0 +1,162 @@
+"""Acceleration structure: Morton-ordered cluster BVH with an implicit B-ary tree.
+
+TPU-native replacement for the Metal acceleration structures the reference
+gets from the driver (BLAS/TLAS build: reference Renderer.swift:184-214 via
+Utilities.swift:29-89, consumed by ``intersector`` at Raytracing.metal:230-244).
+Design rationale:
+
+- Instances are pre-transformed to world space at scene-build time, so the
+  two-level BLAS/TLAS becomes a single flattened structure (the reference's
+  per-hit instance-transform fetch, Raytracing.metal:253-258, disappears).
+- Triangles are sorted by the Morton code of their centroid and grouped into
+  fixed-size *clusters* (default 64 triangles).  A leaf visit therefore tests
+  a dense (rays x cluster) block of Moller-Trumbore intersections — exactly
+  the rectangular, static-shaped work the TPU VPU/MXU wants, instead of the
+  per-thread divergent traversal a GPU uses.
+- Above the clusters sits an implicit complete B-ary tree stored as two flat
+  (num_nodes, 3) AABB arrays in heap order (children of node ``i`` are
+  ``i*B+1 .. i*B+B``).  No pointers, no variable node layout — gathers become
+  contiguous dynamic slices.
+- Metal's AS *compaction* (reference Utilities.swift:51-84) has no TPU
+  equivalent: arrays are exactly sized at build time by construction.
+
+The build runs on the host in numpy (one-time, at scene load — the analog of
+the reference's blocking GPU build round-trip) and ships flat device arrays.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+__all__ = ["BVHSpec", "morton_codes_3d", "build_cluster_bvh"]
+
+
+@dataclasses.dataclass(frozen=True)
+class BVHSpec:
+    """Static (hashable) traversal metadata — the jit-time counterpart of the
+    reference's function-constant specialization (Renderer.swift:87-94)."""
+
+    num_triangles: int  # real triangles (pre-padding)
+    padded_triangles: int  # num_clusters * cluster_size
+    cluster_size: int  # triangles per leaf cluster
+    num_clusters: int  # real clusters
+    branching: int  # tree fan-out B
+    levels: int  # tree depth (0 => root is the only leaf)
+    num_nodes: int  # total implicit nodes
+    first_leaf: int  # index of first leaf node in heap order
+
+    @property
+    def max_stack(self) -> int:
+        # Each internal visit pops 1, pushes <= B; depth bounds growth.
+        return (self.branching - 1) * max(self.levels, 1) + 2
+
+
+def _expand_bits_10(v: np.ndarray) -> np.ndarray:
+    """Spread the low 10 bits of each int so they occupy every 3rd bit."""
+    v = v.astype(np.uint32)
+    v = (v * np.uint32(0x00010001)) & np.uint32(0xFF0000FF)
+    v = (v * np.uint32(0x00000101)) & np.uint32(0x0F00F00F)
+    v = (v * np.uint32(0x00000011)) & np.uint32(0xC30C30C3)
+    v = (v * np.uint32(0x00000005)) & np.uint32(0x49249249)
+    return v
+
+
+def morton_codes_3d(points: np.ndarray, lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+    """30-bit Morton codes of points quantized to a 1024^3 grid over [lo, hi]."""
+    extent = np.maximum(hi - lo, 1e-12)
+    q = np.clip(((points - lo) / extent) * 1024.0, 0.0, 1023.0).astype(np.uint32)
+    return (
+        (_expand_bits_10(q[:, 0]) << np.uint32(2))
+        | (_expand_bits_10(q[:, 1]) << np.uint32(1))
+        | _expand_bits_10(q[:, 2])
+    ).astype(np.uint32)
+
+
+def build_cluster_bvh(
+    v0: np.ndarray,
+    e1: np.ndarray,
+    e2: np.ndarray,
+    cluster_size: int = 64,
+    branching: int = 8,
+):
+    """Build the cluster BVH over world-space triangles (v0, v0+e1, v0+e2).
+
+    Returns ``(order, node_lo, node_hi, spec)`` where ``order`` is the
+    Morton-sorted triangle permutation (length ``spec.padded_triangles``;
+    padding entries are ``-1``), and ``node_lo``/``node_hi`` are the implicit
+    heap-ordered node AABBs, ``(num_nodes, 3) float32``.  Empty leaf slots
+    (cluster index >= num_clusters) carry inverted AABBs ``[+inf, -inf]`` so
+    traversal can never enter them.
+    """
+    t = int(v0.shape[0])
+    if t == 0:
+        raise ValueError("cannot build a BVH over zero triangles")
+    c = int(cluster_size)
+    b = int(branching)
+
+    p0 = v0.astype(np.float64)
+    p1 = p0 + e1
+    p2 = p0 + e2
+    tri_lo = np.minimum(np.minimum(p0, p1), p2)
+    tri_hi = np.maximum(np.maximum(p0, p1), p2)
+    centroids = (p0 + p1 + p2) / 3.0
+
+    scene_lo = tri_lo.min(axis=0)
+    scene_hi = tri_hi.max(axis=0)
+    codes = morton_codes_3d(centroids, scene_lo, scene_hi)
+    order = np.argsort(codes, kind="stable").astype(np.int64)
+
+    num_clusters = -(-t // c)
+    padded = num_clusters * c
+    order_padded = np.full(padded, -1, np.int64)
+    order_padded[:t] = order
+
+    # Per-cluster AABBs over the sorted triangles; padding slots are empty.
+    lo_sorted = np.full((padded, 3), np.inf)
+    hi_sorted = np.full((padded, 3), -np.inf)
+    lo_sorted[:t] = tri_lo[order]
+    hi_sorted[:t] = tri_hi[order]
+    cluster_lo = lo_sorted.reshape(num_clusters, c, 3).min(axis=1)
+    cluster_hi = hi_sorted.reshape(num_clusters, c, 3).max(axis=1)
+
+    # Implicit complete B-ary tree sizing.
+    levels = 0
+    while b**levels < num_clusters:
+        levels += 1
+    num_leaf_slots = b**levels
+    num_nodes = (b ** (levels + 1) - 1) // (b - 1)
+    first_leaf = (b**levels - 1) // (b - 1)
+
+    node_lo = np.full((num_nodes, 3), np.inf)
+    node_hi = np.full((num_nodes, 3), -np.inf)
+    node_lo[first_leaf : first_leaf + num_clusters] = cluster_lo
+    node_hi[first_leaf : first_leaf + num_clusters] = cluster_hi
+
+    # Reduce level by level: node g's children are g*B+1 .. g*B+B.
+    for level in range(levels - 1, -1, -1):
+        start = (b**level - 1) // (b - 1)
+        count = b**level
+        child_start = start * b + 1
+        child_lo = node_lo[child_start : child_start + count * b]
+        child_hi = node_hi[child_start : child_start + count * b]
+        node_lo[start : start + count] = child_lo.reshape(count, b, 3).min(axis=1)
+        node_hi[start : start + count] = child_hi.reshape(count, b, 3).max(axis=1)
+
+    spec = BVHSpec(
+        num_triangles=t,
+        padded_triangles=padded,
+        cluster_size=c,
+        num_clusters=num_clusters,
+        branching=b,
+        levels=levels,
+        num_nodes=num_nodes,
+        first_leaf=first_leaf,
+    )
+    return (
+        order_padded,
+        node_lo.astype(np.float32),
+        node_hi.astype(np.float32),
+        spec,
+    )

@@ -1,0 +1,132 @@
+"""Headless CLI — the framework's app shell.
+
+Replaces the reference's Cocoa/MTKView presentation layer
+(reference: AppDelegate.swift:10-27, GameViewController.swift:17-43,
+Renderer.swift:284-351): instead of a vsync-driven progressive window, a
+progressive render loop with periodic PNG/HDR snapshots and resumable
+checkpoints.
+
+Usage:
+    python -m metal_raytracing_tpu render --scene dragon --size 512x512 \
+        --spp 16 --out dragon.png
+    python -m metal_raytracing_tpu scenes
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from .io import image as image_io
+from .renderer import Renderer
+from .scenes import SCENES, get_scene
+from .types import RenderConfig
+
+
+def _parse_size(s: str):
+    w, _, h = s.partition("x")
+    return int(w), int(h or w)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="metal_raytracing_tpu")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    r = sub.add_parser("render", help="render a scene to an image")
+    r.add_argument("--scene", default="dragon", choices=sorted(SCENES))
+    r.add_argument("--size", type=_parse_size, default=(512, 512),
+                   metavar="WxH")
+    r.add_argument("--spp", type=int, default=4, help="samples per pixel")
+    r.add_argument("--bounces", type=int, default=3,
+                   help="path depth (reference hardcodes 3)")
+    r.add_argument("--tracer", default="bvh",
+                   choices=("bvh", "bruteforce", "pallas"))
+    r.add_argument("--seed", type=int, default=0)
+    r.add_argument("--out", default="render.png")
+    r.add_argument("--hdr-out", default=None,
+                   help="also write linear HDR output")
+    r.add_argument("--no-tonemap", action="store_true")
+    r.add_argument("--env-map", action="store_true",
+                   help="enable HDR environment lighting on miss")
+    r.add_argument("--checkpoint", default=None,
+                   help="checkpoint path for save/resume")
+    r.add_argument("--resume", action="store_true",
+                   help="resume from --checkpoint if it exists")
+    r.add_argument("--save-every", type=int, default=0,
+                   help="write the image every N samples")
+    r.add_argument("--quiet", action="store_true")
+
+    sub.add_parser("scenes", help="list available scenes")
+    return p
+
+
+def cmd_render(args) -> int:
+    width, height = args.size
+    scene = get_scene(args.scene, width, height)
+    cfg = RenderConfig(
+        width=width, height=height, spp=args.spp, max_bounces=args.bounces,
+        seed=args.seed, tracer=args.tracer,
+        env_map=args.env_map or scene.env_map is not None)
+
+    t0 = time.perf_counter()
+    renderer = Renderer(scene, cfg)
+    build_s = time.perf_counter() - t0
+    if not args.quiet:
+        print(f"scene {scene.name}: {scene.triangle_count} triangles, "
+              f"{renderer.spec.bvh.num_clusters} clusters, "
+              f"build {build_s:.2f}s", file=sys.stderr)
+
+    if args.resume and args.checkpoint:
+        import os
+
+        if os.path.exists(args.checkpoint):
+            renderer.load(args.checkpoint)
+            if not args.quiet:
+                print(f"resumed at sample {renderer.frame_index}",
+                      file=sys.stderr)
+
+    t0 = time.perf_counter()
+    while renderer.frame_index < args.spp:
+        renderer.step()
+        if args.save_every and renderer.frame_index % args.save_every == 0:
+            image_io.write_png(args.out, renderer.image,
+                               tonemap=not args.no_tonemap)
+            if args.checkpoint:
+                renderer.save(args.checkpoint)
+        if not args.quiet:
+            el = time.perf_counter() - t0
+            rays = renderer.total_closest_rays + renderer.total_shadow_rays
+            print(f"\rsample {renderer.frame_index}/{args.spp}  "
+                  f"{el:.1f}s  {rays / max(el, 1e-9) / 1e6:.1f} Mrays/s",
+                  end="", file=sys.stderr)
+    if not args.quiet:
+        print(file=sys.stderr)
+
+    image_io.write_png(args.out, renderer.image, tonemap=not args.no_tonemap)
+    if args.hdr_out:
+        image_io.write_hdr(args.hdr_out, renderer.image)
+    if args.checkpoint:
+        renderer.save(args.checkpoint)
+    if not args.quiet:
+        print(f"wrote {args.out}", file=sys.stderr)
+    return 0
+
+
+def cmd_scenes(_args) -> int:
+    for name in sorted(SCENES):
+        print(name)
+    return 0
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.command == "render":
+        return cmd_render(args)
+    if args.command == "scenes":
+        return cmd_scenes(args)
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

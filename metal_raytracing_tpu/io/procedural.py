@@ -1,0 +1,372 @@
+"""Procedural stand-in assets.
+
+The reference mirror is missing several large blobs (dragon.obj, bunny.obj,
+vulture_hide_4k.hdr, coatball textures — see /root/reference/.MISSING_LARGE_BLOBS
+noted in SURVEY.md), and this framework must render its benchmark configs
+self-contained.  This module generates deterministic procedural meshes with
+the same role, scale, and material as the reference assets
+(reference: Resources/*.obj + *.mtl; DragonScene placement DragonScene.swift:14-22).
+
+All generators return :class:`LoadedModel` directly (no file round trip).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..types import Material
+from .obj import LoadedModel, SubmeshData, _smooth_vertex_normals
+
+__all__ = ["make_model", "available", "procedural_env_map"]
+
+
+def _model_from_parts(
+    name: str,
+    parts: Sequence[Tuple[Material, np.ndarray, np.ndarray]],
+) -> LoadedModel:
+    """Assemble submeshes from (material, positions (V,3), tris (T,3)) parts
+    sharing one global vertex array, with smooth synthesized normals."""
+    all_pos: List[np.ndarray] = []
+    offsets = []
+    total = 0
+    for _, pos, _ in parts:
+        offsets.append(total)
+        all_pos.append(pos.astype(np.float32))
+        total += pos.shape[0]
+    positions = np.concatenate(all_pos, axis=0)
+
+    submeshes = []
+    all_tris = []
+    for (mat, _, tris), off in zip(parts, offsets):
+        idx = (tris + off).astype(np.int32)
+        all_tris.append(idx)
+        submeshes.append(SubmeshData(
+            material_name=mat.name or "default",
+            material=mat,
+            tri_pos_idx=idx,
+            tri_norm_idx=idx,
+        ))
+    tri_list = [[(int(a), -1, int(a)), (int(b), -1, int(b)),
+                 (int(c), -1, int(c))]
+                for t in all_tris for a, b, c in t]
+    normals = _smooth_vertex_normals(positions, tri_list)
+    return LoadedModel(
+        name=name, positions=positions, normals=normals, texcoords=None,
+        submeshes=submeshes,
+        face_count=sum(t.shape[0] for t in all_tris),
+    )
+
+
+def _grid_tris(nu: int, nv: int, wrap_u: bool = False) -> np.ndarray:
+    """Triangulate an (nu+1) x (nv+1) vertex grid (two tris per quad, fan
+    order matching the OBJ loader's quad triangulation)."""
+    cols = nv + 1
+    i = np.arange(nu + (0 if not wrap_u else 1))[: nu]
+    j = np.arange(nv)
+    ii, jj = np.meshgrid(i, j, indexing="ij")
+    a = ii * cols + jj
+    b = ((ii + 1) % (nu + 1) if wrap_u else ii + 1) * cols + jj
+    quads = np.stack([a, b, b + 1, a + 1], axis=-1).reshape(-1, 4)
+    t1 = quads[:, [0, 1, 2]]
+    t2 = quads[:, [0, 2, 3]]
+    return np.concatenate([t1, t2], axis=0).astype(np.int32)
+
+
+def _uv_sphere(segments: int = 50, rings: int = 50,
+               radius: float = 1.0) -> Tuple[np.ndarray, np.ndarray]:
+    """UV sphere mirroring the layout of Resources/sphere.obj (a Blender
+    50x50 UV sphere of radius 1 centered at the origin)."""
+    th = np.linspace(0.0, np.pi, rings + 1)
+    ph = np.linspace(0.0, 2.0 * np.pi, segments, endpoint=False)
+    tt, pp = np.meshgrid(th, ph, indexing="ij")
+    pos = np.stack([
+        radius * np.sin(tt) * np.sin(pp),
+        radius * np.cos(tt),
+        -radius * np.sin(tt) * np.cos(pp),
+    ], axis=-1).reshape(-1, 3)
+    # rows are rings (constant theta), columns are segments; wrap segments
+    cols = segments
+    tris = []
+    for i in range(rings):
+        for j in range(segments):
+            a = i * cols + j
+            b = i * cols + (j + 1) % cols
+            c = (i + 1) * cols + (j + 1) % cols
+            d = (i + 1) * cols + j
+            if i > 0:
+                tris.append((a, b, c))
+            if i < rings - 1:
+                tris.append((a, c, d))
+    return pos.astype(np.float32), np.asarray(tris, np.int32)
+
+
+def _box(center, size) -> Tuple[np.ndarray, np.ndarray]:
+    cx, cy, cz = center
+    sx, sy, sz = (s / 2.0 for s in size)
+    corners = np.array([
+        [cx - sx, cy - sy, cz - sz], [cx + sx, cy - sy, cz - sz],
+        [cx + sx, cy + sy, cz - sz], [cx - sx, cy + sy, cz - sz],
+        [cx - sx, cy - sy, cz + sz], [cx + sx, cy - sy, cz + sz],
+        [cx + sx, cy + sy, cz + sz], [cx - sx, cy + sy, cz + sz],
+    ], np.float32)
+    quads = [(0, 1, 2, 3), (5, 4, 7, 6), (4, 0, 3, 7), (1, 5, 6, 2),
+             (3, 2, 6, 7), (4, 5, 1, 0)]
+    tris = []
+    for q in quads:
+        tris.append((q[0], q[1], q[2]))
+        tris.append((q[0], q[2], q[3]))
+    return corners, np.asarray(tris, np.int32)
+
+
+def _cylinder(center, radius, height, segments=24, cap=True):
+    cx, cy, cz = center
+    ph = np.linspace(0, 2 * np.pi, segments, endpoint=False)
+    ring = np.stack([cx + radius * np.cos(ph),
+                     np.zeros_like(ph),
+                     cz + radius * np.sin(ph)], axis=-1)
+    bot = ring + np.array([0, cy, 0])
+    top = ring + np.array([0, cy + height, 0])
+    pos = [bot, top]
+    tris = []
+    for j in range(segments):
+        a, b = j, (j + 1) % segments
+        tris += [(a, b, segments + b), (a, segments + b, segments + a)]
+    n = 2 * segments
+    if cap:
+        pos.append(np.array([[cx, cy, cz], [cx, cy + height, cz]], np.float32))
+        for j in range(segments):
+            a, b = j, (j + 1) % segments
+            tris.append((b, a, n))  # bottom
+            tris.append((segments + a, segments + b, n + 1))  # top
+    return np.concatenate(pos, 0).astype(np.float32), np.asarray(tris, np.int32)
+
+
+def _cone(center, radius, height, segments=24):
+    cx, cy, cz = center
+    ph = np.linspace(0, 2 * np.pi, segments, endpoint=False)
+    ring = np.stack([cx + radius * np.cos(ph),
+                     np.full_like(ph, cy),
+                     cz + radius * np.sin(ph)], axis=-1)
+    pos = np.concatenate(
+        [ring, [[cx, cy + height, cz], [cx, cy, cz]]], 0).astype(np.float32)
+    apex, base = segments, segments + 1
+    tris = []
+    for j in range(segments):
+        a, b = j, (j + 1) % segments
+        tris.append((a, apex, b))
+        tris.append((b, base, a))
+    return pos, np.asarray(tris, np.int32)
+
+
+# ---------------------------------------------------------------------------
+# Named stand-ins (materials mirror the reference .mtl files where present)
+# ---------------------------------------------------------------------------
+
+
+def _plane() -> LoadedModel:
+    # Resources/plane.obj: unit quad at y=0, normal +Y; Kd 0.5 (plane.mtl).
+    pos = np.array([[-1, 0, 1], [1, 0, 1], [1, 0, -1], [-1, 0, -1]], np.float32)
+    tris = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    mat = Material(base_color=(0.5, 0.5, 0.5), specular_exponent=30.0,
+                   refraction_index=1.0, name="None")
+    return _model_from_parts("plane", [(mat, pos, tris)])
+
+
+def _plane_back() -> LoadedModel:
+    # Resources/plane-back.obj: near-vertical backdrop, Kd (1, 1, 0.5),
+    # Ks 0.8 (plane-back.mtl).
+    pos = np.array([[-1, 0, 0], [1, 0, 0],
+                    [-1, 1.999695, 0.034905], [1, 1.999695, 0.034905]],
+                   np.float32)
+    tris = np.array([[0, 1, 3], [0, 3, 2]], np.int32)
+    mat = Material(base_color=(1.0, 1.0, 0.5), specular=(0.8, 0.8, 0.8),
+                   specular_exponent=32.0, name="None")
+    return _model_from_parts("plane-back", [(mat, pos, tris)])
+
+
+def _sphere() -> LoadedModel:
+    pos, tris = _uv_sphere(50, 50, 1.0)
+    mat = Material(base_color=(0.8, 0.8, 0.8), specular_exponent=32.0,
+                   name="None")
+    return _model_from_parts("sphere", [(mat, pos, tris)])
+
+
+def _treefir() -> LoadedModel:
+    # Stand-in fir tree ~2.2 tall sitting on y=0: trunk + 3 cone tiers,
+    # two materials like Resources/treefir.mtl.
+    bark = Material(base_color=(0.35, 0.2, 0.1), name="bark")
+    leaves = Material(base_color=(0.05, 0.35, 0.08), name="leaves")
+    trunk = _cylinder((0, 0, 0), 0.08, 0.5, segments=12)
+    tiers = [
+        _cone((0, 0.35, 0), 0.55, 0.8, segments=20),
+        _cone((0, 0.85, 0), 0.42, 0.7, segments=20),
+        _cone((0, 1.35, 0), 0.28, 0.85, segments=20),
+    ]
+    tier_pos = np.concatenate([p for p, _ in tiers], axis=0)
+    tier_tris = []
+    off = 0
+    for p, t in tiers:
+        tier_tris.append(t + off)
+        off += p.shape[0]
+    return _model_from_parts("treefir", [
+        (bark,) + trunk,
+        (leaves, tier_pos, np.concatenate(tier_tris, axis=0)),
+    ])
+
+
+def _train() -> LoadedModel:
+    # Stand-in toy train (~2.4 long, on y=0) with 6 materials like train.mtl.
+    body = Material(base_color=(0.7, 0.12, 0.1), name="body")
+    cab = Material(base_color=(0.15, 0.3, 0.6), name="cab")
+    chimney = Material(base_color=(0.2, 0.2, 0.2), name="chimney")
+    wheels = Material(base_color=(0.1, 0.1, 0.1), name="wheels")
+    trim = Material(base_color=(0.9, 0.8, 0.2), name="trim")
+    cow = Material(base_color=(0.6, 0.6, 0.6), name="cowcatcher")
+    parts = []
+    parts.append((body,) + _box((-0.45, 0.5, 0), (1.1, 0.55, 0.55)))
+    parts.append((cab,) + _box((0.55, 0.7, 0), (0.7, 0.95, 0.6)))
+    parts.append((trim,) + _box((0.55, 1.22, 0), (0.8, 0.08, 0.7)))
+    parts.append((chimney,) + _cylinder((-0.75, 0.77, 0), 0.09, 0.45,
+                                        segments=14))
+    for wx in (-0.65, -0.1, 0.45):
+        for wz in (-0.3, 0.3):
+            parts.append((wheels,) + _cylinder((wx, 0.0, wz), 0.18, 0.08,
+                                               segments=16))
+    parts.append((cow,) + _cone((-1.05, 0.15, 0), 0.2, 0.35, segments=10))
+    return _model_from_parts("train", parts)
+
+
+def _torus_knot(p: int = 2, q: int = 3, major: int = 400, minor: int = 128,
+                tube: float = 0.11, scale: float = 0.28) -> Tuple[np.ndarray, np.ndarray]:
+    """Dense (p, q) torus-knot tube — the high-poly dragon stand-in body."""
+    t = np.linspace(0, 2 * np.pi, major, endpoint=False)
+    r = 2.0 + np.cos(q * t)
+    center = np.stack([r * np.cos(p * t), r * np.sin(p * t),
+                       -np.sin(q * t)], axis=-1)
+    # Frenet-ish frame via finite differences
+    nxt = np.roll(center, -1, axis=0)
+    tang = nxt - center
+    tang /= np.linalg.norm(tang, axis=1, keepdims=True)
+    ref = np.array([0.0, 0.0, 1.0])
+    n1 = np.cross(tang, ref)
+    n1 /= np.maximum(np.linalg.norm(n1, axis=1, keepdims=True), 1e-9)
+    n2 = np.cross(tang, n1)
+    ph = np.linspace(0, 2 * np.pi, minor, endpoint=False)
+    circ = (np.cos(ph)[None, :, None] * n1[:, None, :]
+            + np.sin(ph)[None, :, None] * n2[:, None, :])
+    pos = (center[:, None, :] + tube * circ).reshape(-1, 3) * scale
+    tris = []
+    for i in range(major):
+        for j in range(minor):
+            a = i * minor + j
+            b = ((i + 1) % major) * minor + j
+            c = ((i + 1) % major) * minor + (j + 1) % minor
+            d = i * minor + (j + 1) % minor
+            tris.append((a, b, c))
+            tris.append((a, c, d))
+    return pos.astype(np.float32), np.asarray(tris, np.int32)
+
+
+def _dragon() -> LoadedModel:
+    # ~102k-triangle stand-in for the absent dragon.obj; material per
+    # Resources/dragon.mtl (Kd red, Ks 0.2, Ns 37.25).
+    pos, tris = _torus_knot()
+    # sit on y=0 like a model resting on the ground
+    pos[:, 1] -= pos[:, 1].min()
+    mat = Material(base_color=(1.0, 0.0, 0.0), specular=(0.2, 0.2, 0.2),
+                   specular_exponent=37.254902, refraction_index=1.0,
+                   name="Dragon")
+    return _model_from_parts("dragon", [(mat, pos, tris)])
+
+
+def _bunny() -> LoadedModel:
+    # ~20k-triangle blobby stand-in for the absent bunny.obj.
+    pos, tris = _uv_sphere(100, 100, 0.5)
+    rng = np.random.RandomState(7)
+    freqs = rng.normal(size=(8, 3)) * 4.0
+    phases = rng.uniform(0, 2 * np.pi, size=8)
+    amps = rng.uniform(0.02, 0.06, size=8)
+    disp = np.zeros(pos.shape[0], np.float64)
+    for f, ph, a in zip(freqs, phases, amps):
+        disp += a * np.sin(pos @ f + ph)
+    pos = pos * (1.0 + disp[:, None])
+    pos[:, 1] -= pos[:, 1].min()
+    mat = Material(base_color=(0.73, 0.71, 0.68), name="bunny")
+    return _model_from_parts("bunny", [(mat, pos.astype(np.float32), tris)])
+
+
+def _teapot() -> LoadedModel:
+    # Stand-in if Resources/teapot.obj is unavailable: squashed body +
+    # spout + handle + lid knob.
+    white = Material(base_color=(0.9, 0.9, 0.9), specular_exponent=96.0,
+                     name="teapot")
+    body_p, body_t = _uv_sphere(40, 40, 1.0)
+    body_p = body_p * np.array([1.0, 0.75, 1.0], np.float32)
+    body_p[:, 1] += 0.75
+    spout_p, spout_t = _cylinder((1.05, 0.55, 0), 0.12, 0.6, segments=12)
+    knob_p, knob_t = _uv_sphere(10, 10, 0.12)
+    knob_p[:, 1] += 1.55
+    parts = [(white, body_p, body_t), (white, spout_p, spout_t),
+             (white, knob_p, knob_t)]
+    return _model_from_parts("teapot", parts)
+
+
+def _coatball() -> LoadedModel:
+    # Stand-in for Resources/coatball/coatball.obj: glossy ball on a base.
+    coat = Material(base_color=(0.9, 0.55, 0.1), specular=(0.9, 0.9, 0.9),
+                    specular_exponent=200.0, name="coat")
+    base = Material(base_color=(0.2, 0.2, 0.22), name="base")
+    ball_p, ball_t = _uv_sphere(80, 80, 0.5)
+    ball_p[:, 1] += 0.62
+    base_p, base_t = _cylinder((0, 0, 0), 0.45, 0.12, segments=32)
+    return _model_from_parts("coatball", [(coat, ball_p, ball_t),
+                                          (base, base_p, base_t)])
+
+
+_REGISTRY: Dict[str, Callable[[], LoadedModel]] = {
+    "plane": _plane,
+    "plane-back": _plane_back,
+    "sphere": _sphere,
+    "treefir": _treefir,
+    "train": _train,
+    "dragon": _dragon,
+    "bunny": _bunny,
+    "teapot": _teapot,
+    "coatball": _coatball,
+}
+
+
+def available() -> Tuple[str, ...]:
+    return tuple(sorted(_REGISTRY))
+
+
+def make_model(name: str) -> LoadedModel:
+    """Generate the named procedural stand-in (deterministic)."""
+    try:
+        return _REGISTRY[name]()
+    except KeyError:
+        raise KeyError(
+            f"no procedural stand-in for {name!r}; available: {available()}")
+
+
+def procedural_env_map(height: int = 256, width: int = 512) -> np.ndarray:
+    """Deterministic HDR sky (gradient + sun disc) standing in for the absent
+    vulture_hide_4k.hdr (BASELINE.json configs[2]).  Lat-long layout."""
+    v = (np.arange(height) + 0.5) / height  # 0 = up
+    u = (np.arange(width) + 0.5) / width
+    uu, vv = np.meshgrid(u, v)
+    elev = np.cos(vv * np.pi)  # 1 at zenith, -1 at nadir
+    sky = np.stack([
+        0.35 + 0.25 * elev,
+        0.45 + 0.35 * elev,
+        0.9 + 0.1 * elev,
+    ], axis=-1)
+    ground = np.array([0.18, 0.15, 0.12])
+    img = np.where(elev[..., None] > 0, sky, ground[None, None, :])
+    # sun disc
+    sun_u, sun_v = 0.25, 0.3
+    d2 = ((uu - sun_u) ** 2 + (vv - sun_v) ** 2)
+    img = img + np.exp(-d2 / 0.0004)[..., None] * np.array([40.0, 36.0, 30.0])
+    return img.astype(np.float32)

@@ -1,0 +1,291 @@
+"""Wavefront path-tracing pipeline + progressive renderer.
+
+TPU-native rewrite of the reference's per-pixel megakernel
+(reference: MetalRaytracing/Raytracing.metal:156-405) and its host-side frame
+orchestration (reference: Renderer.swift:284-351).  The per-thread bounce loop
+with divergent branches becomes a batched wavefront: for each bounce, ALL rays
+are traced, shaded with branchless masked math, shadow-tested, and re-emitted —
+one ``jit``-compiled step per sample with no host round trips inside.
+
+Semantics preserved exactly (pixel-parity goals, SURVEY.md §4):
+- Halton dimension schedule ``d = 0,1`` pixel jitter, ``2 + 5*bounce + k``
+  for light-select / light-uv / bounce-uv (Raytracing.metal:202-203, 272,
+  284-285, 384-385) with per-pixel random index offsets
+  (Renderer.swift:249-274).
+- Camera ray generation from image-plane-scaled basis (Raytracing.metal:206-218).
+- One uniformly chosen light per bounce, lightCount compensation, N.L
+  saturate, 1e-4 shadow-ray culling threshold, 1e-3 origin offsets and
+  shadow-distance backoff (Raytracing.metal:272-374).
+- Throughput ``color *= baseColor`` before the light contribution is added
+  (Raytracing.metal:339, 372).
+- Progressive average ``(prev*frame + sample)/(frame+1)``
+  (Raytracing.metal:395-401) with donated accumulation buffers — the JAX
+  equivalent of the reference's ping-pong textures (Renderer.swift:332-334).
+
+Extensions beyond the reference (gated off by default for parity): HDR
+environment lighting on miss, emissive materials, specular reflection
+(the reference lists refraction/specular as TODO, reference README.md:8).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import sampling
+from .lights import sample_lights, select_light
+from .ops import trace as trace_ops
+from .ops.intersect import BIG_T
+from .scene import Scene, SceneData, SceneSpec
+from .types import RenderConfig
+
+__all__ = ["render_sample", "accumulate", "Renderer", "make_pixel_offsets"]
+
+
+def make_pixel_offsets(cfg: RenderConfig) -> jnp.ndarray:
+    """Per-pixel Halton index offsets, (H*W,) int32 in [0, 2^bits) — the
+    reference's r32Uint random texture (reference: Renderer.swift:249-274)."""
+    key = jax.random.PRNGKey(cfg.seed)
+    return sampling.pixel_decorrelation_offsets(
+        key, (cfg.height * cfg.width,), bits=cfg.rand_offset_bits)
+
+
+def _env_lookup(env: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-sample a lat-long environment map with unit directions."""
+    he, we = env.shape[0], env.shape[1]
+    u = jnp.arctan2(d[..., 0], -d[..., 2]) / (2.0 * jnp.pi) + 0.5
+    v = jnp.arccos(jnp.clip(d[..., 1], -1.0, 1.0)) / jnp.pi
+    xi = jnp.clip((u * we).astype(jnp.int32), 0, we - 1)
+    yi = jnp.clip((v * he).astype(jnp.int32), 0, he - 1)
+    return env[yi, xi]
+
+
+def _normalize(v, eps=1e-20):
+    return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), eps)
+
+
+def _make_tracers(data: SceneData, spec: SceneSpec, cfg: RenderConfig):
+    if cfg.tracer == "bruteforce":
+        closest = functools.partial(
+            trace_ops.trace_closest_bruteforce, geometry=data.geometry)
+        any_hit = functools.partial(
+            trace_ops.trace_any_bruteforce, geometry=data.geometry)
+    elif cfg.tracer == "bvh":
+        closest = functools.partial(
+            trace_ops.trace_closest, geometry=data.geometry,
+            node_lo=data.node_lo, node_hi=data.node_hi, spec=spec.bvh,
+            block=cfg.ray_block)
+        any_hit = functools.partial(
+            trace_ops.trace_any, geometry=data.geometry,
+            node_lo=data.node_lo, node_hi=data.node_hi, spec=spec.bvh,
+            block=cfg.ray_block)
+    elif cfg.tracer == "pallas":
+        from .ops import trace_pallas
+
+        closest = functools.partial(
+            trace_pallas.trace_closest, geometry=data.geometry,
+            node_lo=data.node_lo, node_hi=data.node_hi, spec=spec.bvh,
+            block=cfg.ray_block)
+        any_hit = functools.partial(
+            trace_pallas.trace_any, geometry=data.geometry,
+            node_lo=data.node_lo, node_hi=data.node_hi, spec=spec.bvh,
+            block=cfg.ray_block)
+    else:
+        raise ValueError(f"unknown tracer {cfg.tracer!r}")
+    return closest, any_hit
+
+
+def render_sample(
+    data: SceneData,
+    spec: SceneSpec,
+    cfg: RenderConfig,
+    offsets: jnp.ndarray,  # (H*W,) i32 per-pixel Halton offsets
+    frame_index: jnp.ndarray,  # () i32 sample index
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Render one sample per pixel; returns ((H, W, 3) radiance, stats).
+
+    ``stats`` counts traced rays for the Mrays/s metric: ``closest_rays`` and
+    ``shadow_rays`` (the two intersector call sites of the reference,
+    Raytracing.metal:244 and :367).
+    """
+    w, h = cfg.width, cfg.height
+    n = w * h
+    block = cfg.ray_block
+    p = -(-n // block) * block  # rays padded to a block multiple
+    lcount = spec.light_count
+
+    xs = jnp.arange(w, dtype=jnp.float32)
+    ys = jnp.arange(h, dtype=jnp.float32)
+    px = jnp.tile(xs, h)
+    py = jnp.repeat(ys, w)
+    pad = p - n
+    px = jnp.pad(px, (0, pad))
+    py = jnp.pad(py, (0, pad))
+    mask = jnp.pad(jnp.ones((n,), bool), (0, pad))
+    idx = jnp.pad(offsets.astype(jnp.int32), (0, pad)) + frame_index
+
+    # Camera ray generation (reference: Raytracing.metal:201-218).
+    jitter_x = sampling.halton(idx, sampling.DIM_PIXEL_X)
+    jitter_y = sampling.halton(idx, sampling.DIM_PIXEL_Y)
+    uv_x = (px + jitter_x) / w * 2.0 - 1.0
+    uv_y = (py + jitter_y) / h * 2.0 - 1.0
+    cam = data.camera
+    d = _normalize(uv_x[:, None] * cam.right[None]
+                   + uv_y[:, None] * cam.up[None]
+                   + cam.forward[None])
+    o = jnp.broadcast_to(cam.position[None], (p, 3))
+
+    closest_fn, any_fn = _make_tracers(data, spec, cfg)
+    geom = data.geometry
+    mats = data.materials
+
+    color = jnp.ones((p, 3))  # path throughput (Raytracing.metal:226)
+    accum = jnp.zeros((p, 3))
+    alive = mask
+    closest_count = jnp.int32(0)
+    shadow_count = jnp.int32(0)
+
+    for bounce in range(cfg.max_bounces):
+        closest_count += jnp.sum(alive.astype(jnp.int32))
+        hit = closest_fn(o, d, alive)
+
+        if cfg.env_map and spec.has_env_map:
+            escaped = alive & ~hit.found
+            accum += jnp.where(escaped[:, None],
+                               color * _env_lookup(data.env_map, d), 0.0)
+
+        alive = alive & hit.found  # megakernel's break-on-miss (:246-247)
+        tri = jnp.maximum(hit.tri, 0)
+
+        # Barycentric normal interpolation: weights (1-u-v, u, v) on corners
+        # (0, 1, 2), matching interpolateVertexAttribute
+        # (reference: Raytracing.metal:60-73, 266-268).
+        uw = hit.u[:, None]
+        vw = hit.v[:, None]
+        ns = ((1.0 - uw - vw) * geom.n0[tri] + uw * geom.n1[tri]
+              + vw * geom.n2[tri])
+        ns = _normalize(ns)
+        pos = o + d * jnp.minimum(hit.t, BIG_T)[:, None]
+
+        mid = geom.material_id[tri]
+        base_color = mats.base_color[mid]
+
+        if cfg.enable_emission:
+            accum += jnp.where(alive[:, None], color * mats.emission[mid], 0.0)
+
+        # One uniformly random light per ray (reference: :272-275).
+        lu = sampling.halton(idx, sampling.bounce_dim(bounce, 0))
+        light_idx = select_light(lu, lcount)
+        r_light = jnp.stack(
+            [sampling.halton(idx, sampling.bounce_dim(bounce, 1)),
+             sampling.halton(idx, sampling.bounce_dim(bounce, 2))], axis=-1)
+        ls = sample_lights(data.lights, light_idx, r_light, pos)
+
+        ndotl = jnp.clip(jnp.sum(ns * ls.direction, axis=-1), 0.0, 1.0)
+        lcolor = ls.color * ndotl[:, None] * lcount  # :331-335
+
+        color = jnp.where(alive[:, None], color * base_color, color)  # :339
+
+        do_shadow = alive & (jnp.linalg.norm(lcolor, axis=-1) > 1e-4)  # :341
+        shadow_count += jnp.sum(do_shadow.astype(jnp.int32))
+        shadow_o = pos + ns * 1e-3  # :350
+        occluded = any_fn(shadow_o, ls.direction, ls.distance - 1e-3,
+                          do_shadow)
+        visible = do_shadow & ~occluded
+        accum += jnp.where(visible[:, None], lcolor * color, 0.0)  # :371-373
+
+        # Cosine-weighted bounce (reference: :384-391).
+        r_bounce = jnp.stack(
+            [sampling.halton(idx, sampling.bounce_dim(bounce, 3)),
+             sampling.halton(idx, sampling.bounce_dim(bounce, 4))], axis=-1)
+        local = sampling.sample_cosine_weighted_hemisphere(r_bounce)
+        d = sampling.align_hemisphere_with_normal(local, ns)
+        o = pos + ns * 1e-3
+
+    img = accum[:n].reshape(h, w, 3)
+    stats = {"closest_rays": closest_count, "shadow_rays": shadow_count}
+    return img, stats
+
+
+def accumulate(prev: jnp.ndarray, sample: jnp.ndarray,
+               frame_index) -> jnp.ndarray:
+    """Progressive average (reference: Raytracing.metal:395-401)."""
+    fi = jnp.asarray(frame_index, jnp.float32)
+    return (prev * fi + sample) / (fi + 1.0)
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "cfg"), donate_argnums=(3,))
+def _progressive_step(data, offsets, frame_index, accum_img, *, spec, cfg):
+    sample, stats = render_sample(data, spec, cfg, offsets, frame_index)
+    return accumulate(accum_img, sample, frame_index), stats
+
+
+class Renderer:
+    """Progressive renderer: owns the jitted sample step and the accumulation
+    state — the framework's equivalent of the reference ``Renderer``
+    (reference: Renderer.swift:12-357), headless.
+
+    The (accumulation image, frame_index, seed) triple is the complete
+    checkpoint state; ``state_dict``/``load_state`` make a converging render
+    resumable (SURVEY.md §5 checkpoint/resume).
+    """
+
+    def __init__(self, scene: Scene, cfg: RenderConfig):
+        self.scene = scene
+        self.cfg = cfg
+        self.data, self.spec = scene.build(
+            cluster_size=cfg.cluster_size)
+        self.offsets = make_pixel_offsets(cfg)
+        self.frame_index = 0
+        self.accum = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+        self.total_closest_rays = 0
+        self.total_shadow_rays = 0
+
+    def step(self) -> None:
+        """Render one sample for every pixel and fold it into the average."""
+        self.accum, stats = _progressive_step(
+            self.data, self.offsets, jnp.int32(self.frame_index),
+            self.accum, spec=self.spec, cfg=self.cfg)
+        self.frame_index += 1
+        self.total_closest_rays += int(stats["closest_rays"])
+        self.total_shadow_rays += int(stats["shadow_rays"])
+
+    def render(self, spp: Optional[int] = None) -> np.ndarray:
+        """Render ``spp`` samples (default cfg.spp); returns (H, W, 3) f32."""
+        spp = self.cfg.spp if spp is None else spp
+        for _ in range(spp):
+            self.step()
+        return np.asarray(jax.device_get(self.accum))
+
+    @property
+    def image(self) -> np.ndarray:
+        return np.asarray(jax.device_get(self.accum))
+
+    # -- checkpoint / resume (SURVEY.md §5) --------------------------------
+    def state_dict(self) -> dict:
+        return {
+            "accum": np.asarray(self.accum),
+            "frame_index": self.frame_index,
+            "seed": self.cfg.seed,
+            "total_closest_rays": self.total_closest_rays,
+            "total_shadow_rays": self.total_shadow_rays,
+        }
+
+    def load_state(self, state: dict) -> None:
+        if int(state["seed"]) != self.cfg.seed:
+            raise ValueError("checkpoint seed does not match config seed")
+        self.accum = jnp.asarray(state["accum"], jnp.float32)
+        self.frame_index = int(state["frame_index"])
+        self.total_closest_rays = int(state.get("total_closest_rays", 0))
+        self.total_shadow_rays = int(state.get("total_shadow_rays", 0))
+
+    def save(self, path: str) -> None:
+        np.savez(path, **self.state_dict())
+
+    def load(self, path: str) -> None:
+        with np.load(path) as f:
+            self.load_state({k: f[k] for k in f.files})

@@ -1,0 +1,252 @@
+"""Scene assembly: host-side scene graph -> flat device SoA.
+
+Replaces three reference layers at once:
+
+- ``Scene``/``DragonScene`` (reference Scene.swift:10-107,
+  DragonScene.swift:10-34): camera + lights + model instances;
+- ``Model``/``Mesh``/``Submesh`` (reference Model.swift:13-39,
+  Mesh.swift:18-48, SubMesh.swift:19-33): per-instance TRS transforms and
+  per-submesh GPU buffers;
+- the bindless argument-buffer resource table (reference Renderer.swift:107-182
+  and Raytracing.metal:149-154, 262-264): where the reference indexes a table
+  of *pointers* by ``instance * maxSubmeshes + geometry``, we pre-transform all
+  instances to world space and concatenate into one global triangle SoA with a
+  per-triangle material id — offsets replace pointers, and the per-hit
+  instance-transform fetch (Raytracing.metal:253-258) disappears entirely.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, NamedTuple, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import accel, math_utils
+from .io.obj import LoadedModel
+from .types import (
+    Camera,
+    Light,
+    LightTable,
+    Material,
+    MaterialTable,
+    area_light,
+    make_camera,
+    pack_lights,
+    pack_materials,
+    spot_light,
+)
+
+__all__ = ["GeometryTable", "SceneData", "SceneSpec", "Instance", "Scene"]
+
+
+class GeometryTable(NamedTuple):
+    """World-space triangle SoA, Morton-sorted and cluster-padded.
+
+    ``v0 + u*e1 + v*e2`` parameterizes the triangle surface with the same
+    barycentric convention as Metal's intersector result, so vertex-attribute
+    interpolation matches ``interpolateVertexAttribute``
+    (reference: Raytracing.metal:60-73) with weights (1-u-v, u, v) on corners
+    (0, 1, 2).  Per-corner shading normals are pre-gathered (n0/n1/n2) so the
+    shade pass does one triangle-id gather instead of the reference's
+    resource-table double indirection.
+    """
+
+    v0: jnp.ndarray  # (T, 3) f32
+    e1: jnp.ndarray  # (T, 3) f32
+    e2: jnp.ndarray  # (T, 3) f32
+    n0: jnp.ndarray  # (T, 3) f32 world-space corner normals (plain-matrix
+    n1: jnp.ndarray  # (T, 3)      transformed, like Raytracing.metal:267)
+    n2: jnp.ndarray  # (T, 3)
+    material_id: jnp.ndarray  # (T,) i32; 0 for padding (padding never hits)
+
+
+class SceneData(NamedTuple):
+    """Everything a jitted render step needs, as one pytree of device arrays."""
+
+    geometry: GeometryTable
+    node_lo: jnp.ndarray  # (num_nodes, 3) f32 implicit BVH AABBs
+    node_hi: jnp.ndarray  # (num_nodes, 3) f32
+    lights: LightTable
+    materials: MaterialTable
+    camera: Camera
+    env_map: Optional[jnp.ndarray] = None  # (He, We, 3) f32 lat-long, or None
+
+
+@dataclasses.dataclass(frozen=True)
+class SceneSpec:
+    """Static scene metadata (hashable; safe as a jit static argument)."""
+
+    bvh: accel.BVHSpec
+    light_count: int
+    material_count: int
+    has_env_map: bool = False
+
+
+@dataclasses.dataclass
+class Instance:
+    """One placed model — the ``Model``+``Mesh`` pair of the reference
+    (Model.swift:13-24, Mesh.swift:18-33): a loaded asset and its TRS
+    transform composed as T @ R(euler xyz) @ S."""
+
+    model: LoadedModel
+    transform: np.ndarray  # (4, 4) f32
+
+    @classmethod
+    def place(cls, model: LoadedModel, position=(0.0, 0.0, 0.0),
+              rotation=(0.0, 0.0, 0.0), scale=1.0) -> "Instance":
+        return cls(model=model, transform=math_utils.trs(position, rotation, scale))
+
+
+def flatten_instances(
+    instances: Sequence[Instance],
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray,
+           np.ndarray, np.ndarray, List[Material]]:
+    """Pre-transform and concatenate all instances into world-space arrays.
+
+    Returns (v0, e1, e2, n0, n1, n2, material_id, materials).  Materials are
+    deduplicated per (instance, submesh) the way the reference keeps one
+    material buffer per submesh (reference: SubMesh.swift:30).
+    """
+    v0s, e1s, e2s = [], [], []
+    n0s, n1s, n2s = [], [], []
+    mids = []
+    materials: List[Material] = []
+
+    for inst in instances:
+        m = inst.transform
+        world_pos = math_utils.transform_points(m, inst.model.positions)
+        world_nrm = math_utils.transform_directions(m, inst.model.normals)
+        for sub in inst.model.submeshes:
+            mat_id = len(materials)
+            materials.append(sub.material)
+            tp = sub.tri_pos_idx
+            tn = sub.tri_norm_idx
+            v0 = world_pos[tp[:, 0]]
+            v1 = world_pos[tp[:, 1]]
+            v2 = world_pos[tp[:, 2]]
+            v0s.append(v0)
+            e1s.append(v1 - v0)
+            e2s.append(v2 - v0)
+            n0s.append(world_nrm[tn[:, 0]])
+            n1s.append(world_nrm[tn[:, 1]])
+            n2s.append(world_nrm[tn[:, 2]])
+            mids.append(np.full(tp.shape[0], mat_id, np.int32))
+
+    cat = lambda xs: np.concatenate(xs, axis=0).astype(np.float32)
+    return (cat(v0s), cat(e1s), cat(e2s), cat(n0s), cat(n1s), cat(n2s),
+            np.concatenate(mids), materials)
+
+
+def build_scene_data(
+    instances: Sequence[Instance],
+    lights: Sequence[Light],
+    camera: Camera,
+    cluster_size: int = 64,
+    branching: int = 8,
+    env_map: Optional[np.ndarray] = None,
+) -> Tuple[SceneData, SceneSpec]:
+    """Flatten, Morton-sort, cluster, and upload a scene.
+
+    The one-time host build replacing the reference's blocking GPU
+    acceleration-structure round trips (reference: Utilities.swift:29-89).
+    """
+    v0, e1, e2, n0, n1, n2, mid, materials = flatten_instances(instances)
+    order, node_lo, node_hi, bvh_spec = accel.build_cluster_bvh(
+        v0, e1, e2, cluster_size=cluster_size, branching=branching)
+
+    # Apply the Morton permutation; padding slots (-1) become degenerate
+    # triangles (e1 = e2 = 0 => zero determinant => never hit).
+    def permute(a: np.ndarray, fill: float = 0.0) -> np.ndarray:
+        out = np.full((order.shape[0],) + a.shape[1:], fill, a.dtype)
+        valid = order >= 0
+        out[valid] = a[order[valid]]
+        return out
+
+    geometry = GeometryTable(
+        v0=jnp.asarray(permute(v0)),
+        e1=jnp.asarray(permute(e1)),
+        e2=jnp.asarray(permute(e2)),
+        n0=jnp.asarray(permute(n0)),
+        n1=jnp.asarray(permute(n1)),
+        n2=jnp.asarray(permute(n2)),
+        material_id=jnp.asarray(permute(mid)),
+    )
+    light_table = pack_lights(list(lights))
+    material_table = pack_materials(materials)
+    data = SceneData(
+        geometry=geometry,
+        node_lo=jnp.asarray(node_lo),
+        node_hi=jnp.asarray(node_hi),
+        lights=light_table,
+        materials=material_table,
+        camera=camera,
+        env_map=None if env_map is None else jnp.asarray(env_map, jnp.float32),
+    )
+    spec = SceneSpec(
+        bvh=bvh_spec,
+        light_count=light_table.count,
+        material_count=material_table.count,
+        has_env_map=env_map is not None,
+    )
+    return data, spec
+
+
+class Scene:
+    """Host-side scene: camera + lights + instances (reference Scene.swift:10-34).
+
+    Default lights replicate the reference's base ``Scene.init``: one area
+    light at the ceiling and one spotlight (reference Scene.swift:21-30 —
+    note the reference constructs ``light2`` but ships ``[light1, light3]``).
+    """
+
+    name = "scene"
+
+    def __init__(self, width: int = 512, height: int = 512,
+                 default_lights: bool = True):
+        self.width = width
+        self.height = height
+        self.instances: List[Instance] = []
+        self.lights: List[Light] = []
+        self.env_map: Optional[np.ndarray] = None
+        # Camera pose per Scene.setupCamera (reference Scene.swift:40-57).
+        self.camera_position = (0.0, 1.0, 5.38)
+        self.camera_right = (1.0, 0.0, 0.0)
+        self.camera_up = (0.0, 1.0, 0.0)
+        self.camera_forward = (0.0, 0.0, -1.0)
+        self.fov_degrees = 45.0
+        if default_lights:
+            self.lights = [
+                area_light(position=(0.0, 1.98, 0.0), forward=(0.0, -1.0, 0.0),
+                           right=(0.25, 0.0, 0.0), up=(0.0, 0.0, 0.25),
+                           color=(4.0, 4.0, 4.0)),
+                spot_light(position=(2.0, 1.0, 4.0),
+                           direction=(-1.5, -0.5, -1.5),
+                           cone_angle=25.0 / 180.0 * np.pi,
+                           color=(4.0, 4.0, 4.0)),
+            ]
+
+    def add_instance(self, model: LoadedModel, position=(0.0, 0.0, 0.0),
+                     rotation=(0.0, 0.0, 0.0), scale=1.0) -> None:
+        self.instances.append(Instance.place(model, position, rotation, scale))
+
+    @property
+    def aspect(self) -> float:
+        return float(self.width) / float(self.height)
+
+    def camera(self) -> Camera:
+        return make_camera(
+            position=self.camera_position, right=self.camera_right,
+            up=self.camera_up, forward=self.camera_forward,
+            fov_degrees=self.fov_degrees, aspect=self.aspect)
+
+    @property
+    def triangle_count(self) -> int:
+        return sum(i.model.triangle_count for i in self.instances)
+
+    def build(self, cluster_size: int = 64, branching: int = 8):
+        return build_scene_data(
+            self.instances, self.lights, self.camera(),
+            cluster_size=cluster_size, branching=branching,
+            env_map=self.env_map)

@@ -222,8 +222,8 @@ class RenderConfig:
     max_bounces: int = 3  # reference hardcodes 3 (Raytracing.metal:237)
     rand_offset_bits: int = 20  # arc4random() % 2^20 (Renderer.swift:263-270)
     seed: int = 0
-    # Traversal backend: "bruteforce" | "cluster" | "pallas"
-    tracer: str = "cluster"
+    # Traversal backend: "bruteforce" | "bvh" | "pallas"
+    tracer: str = "bvh"
     cluster_size: int = 64  # triangles per BVH leaf cluster
     ray_block: int = 256  # rays per Pallas block
     # Shade extensions beyond the reference's diffuse-only shading

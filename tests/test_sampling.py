@@ -1,0 +1,78 @@
+"""Golden-math tests for the sampling library (SURVEY.md §4 item 1)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from metal_raytracing_tpu import sampling
+
+
+def halton_scalar(i: int, d: int) -> float:
+    """Literal transcription of the reference algorithm
+    (reference: Raytracing.metal:41-56) in float32 scalar arithmetic."""
+    b = int(sampling.PRIMES[d])
+    f = np.float32(1.0)
+    inv_b = np.float32(1.0) / np.float32(b)
+    r = np.float32(0.0)
+    while i > 0:
+        f = np.float32(f * inv_b)
+        r = np.float32(r + f * np.float32(i % b))
+        i = i // b
+    return float(r)
+
+
+@pytest.mark.parametrize("d", [0, 1, 2, 7, 50, 99])
+def test_halton_matches_scalar_reference(d):
+    idx = np.array([0, 1, 2, 3, 17, 100, 12345, (1 << 20) + 9, (1 << 24) + 5])
+    ours = np.asarray(sampling.halton(jnp.asarray(idx), d))
+    expected = np.array([halton_scalar(int(i), d) for i in idx], np.float32)
+    np.testing.assert_allclose(ours, expected, rtol=0, atol=2e-7)
+
+
+def test_halton_range_and_discrepancy():
+    idx = jnp.arange(1, 4097)
+    vals = np.asarray(sampling.halton(idx, 0))
+    assert (vals >= 0).all() and (vals < 1).all()
+    # Low discrepancy: mean close to 0.5 already at 4k samples
+    assert abs(vals.mean() - 0.5) < 1e-3
+
+
+def test_cosine_hemisphere_distribution():
+    u = jnp.stack([sampling.halton(jnp.arange(1, 20001), 2),
+                   sampling.halton(jnp.arange(1, 20001), 3)], axis=-1)
+    dirs = np.asarray(sampling.sample_cosine_weighted_hemisphere(u))
+    np.testing.assert_allclose(np.linalg.norm(dirs, axis=-1), 1.0, atol=1e-5)
+    assert (dirs[:, 1] >= 0).all()  # +Y hemisphere
+    # E[cos theta] = 2/3 for pdf = cos/pi
+    assert abs(dirs[:, 1].mean() - 2.0 / 3.0) < 5e-3
+
+
+def test_align_hemisphere_with_normal():
+    n = jnp.asarray([[0.0, 0.0, 1.0], [1.0, 0.0, 0.0],
+                     [0.577350, 0.577350, 0.577350]])
+    sample = jnp.asarray([[0.0, 1.0, 0.0]] * 3)  # "up" must map onto normal
+    out = np.asarray(sampling.align_hemisphere_with_normal(sample, n))
+    np.testing.assert_allclose(out, np.asarray(n), atol=1e-6)
+
+    # A full frame stays orthonormal: |aligned| == |sample|
+    s2 = jnp.asarray([[0.5, 0.5, np.sqrt(0.5)]] * 3)
+    out2 = np.asarray(sampling.align_hemisphere_with_normal(s2, n))
+    np.testing.assert_allclose(np.linalg.norm(out2, axis=-1), 1.0, atol=1e-5)
+
+
+def test_dimension_schedule():
+    # reference: Raytracing.metal:272, 284-285, 384-385
+    assert sampling.bounce_dim(0, 0) == 2
+    assert sampling.bounce_dim(0, 4) == 6
+    assert sampling.bounce_dim(1, 0) == 7
+    assert sampling.bounce_dim(2, 4) == 16
+
+
+def test_pixel_offsets_range():
+    import jax
+
+    offs = sampling.pixel_decorrelation_offsets(
+        jax.random.PRNGKey(0), (1024,), bits=20)
+    o = np.asarray(offs)
+    assert o.min() >= 0 and o.max() < (1 << 20)
+    assert len(np.unique(o)) > 900  # decorrelated

@@ -1,0 +1,188 @@
+"""Intersection + BVH traversal tests (SURVEY.md §4 item 3): primitives on
+hand-built cases, invariants on the built tree, and packet traversal equal to
+the brute-force oracle on real scenes and random ray sets."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from metal_raytracing_tpu import accel
+from metal_raytracing_tpu.ops import trace as T
+from metal_raytracing_tpu.ops.intersect import (
+    BIG_T, moller_trumbore, ray_aabb, safe_inverse)
+from metal_raytracing_tpu.scene import build_scene_data
+from metal_raytracing_tpu.scenes import plane_sphere_scene
+
+
+def test_moller_trumbore_basics():
+    v0 = jnp.asarray([[0.0, 0.0, 0.0]])
+    e1 = jnp.asarray([[1.0, 0.0, 0.0]])
+    e2 = jnp.asarray([[0.0, 1.0, 0.0]])
+    o = jnp.asarray([[0.25, 0.25, 1.0], [0.9, 0.9, 1.0], [0.25, 0.25, 1.0]])
+    d = jnp.asarray([[0.0, 0.0, -1.0]] * 3)
+    t, u, v, hit = moller_trumbore(o, d, v0, e1, e2)
+    assert bool(hit[0]) and not bool(hit[1])  # u+v > 1 misses
+    assert float(t[0]) == pytest.approx(1.0)
+    assert float(u[0]) == pytest.approx(0.25)
+    assert float(v[0]) == pytest.approx(0.25)
+    # double-sided: flip direction and origin below the plane
+    t2, _, _, hit2 = moller_trumbore(
+        jnp.asarray([[0.25, 0.25, -1.0]]), jnp.asarray([[0.0, 0.0, 1.0]]),
+        v0, e1, e2)
+    assert bool(hit2[0]) and float(t2[0]) == pytest.approx(1.0)
+
+
+def test_moller_trumbore_degenerate_never_hits():
+    z = jnp.zeros((1, 3))
+    o = jnp.asarray([[0.0, 0.0, 1.0]])
+    d = jnp.asarray([[0.0, 0.0, -1.0]])
+    *_, hit = moller_trumbore(o, d, z, z, z)
+    assert not bool(hit[0])
+
+
+def test_ray_aabb():
+    o = jnp.asarray([[0.0, 0.0, 5.0]])
+    inv = safe_inverse(jnp.asarray([[0.0, 0.0, -1.0]]))
+    lo = jnp.asarray([[-1.0, -1.0, -1.0]])
+    hi = jnp.asarray([[1.0, 1.0, 1.0]])
+    tn, hit = ray_aabb(o, inv, lo, hi, t_max=jnp.asarray([BIG_T]))
+    assert bool(hit[0]) and float(tn[0]) == pytest.approx(4.0)
+    # ray starting inside
+    tn2, hit2 = ray_aabb(jnp.zeros((1, 3)), inv, lo, hi,
+                         t_max=jnp.asarray([BIG_T]))
+    assert bool(hit2[0]) and float(tn2[0]) <= 0.0
+    # behind the ray
+    _, hit3 = ray_aabb(o, safe_inverse(jnp.asarray([[0.0, 0.0, 1.0]])),
+                       lo, hi, t_max=jnp.asarray([BIG_T]))
+    assert not bool(hit3[0])
+
+
+def test_ray_aabb_rejects_empty_sentinel():
+    """Padding leaves use [inf, -inf] boxes; a naive slab test accepts them."""
+    o = jnp.zeros((1, 3))
+    inv = safe_inverse(jnp.asarray([[0.0, 0.0, -1.0]]))
+    lo = jnp.full((1, 3), jnp.inf)
+    hi = jnp.full((1, 3), -jnp.inf)
+    _, hit = ray_aabb(o, inv, lo, hi, t_max=jnp.asarray([BIG_T]))
+    assert not bool(hit[0])
+
+
+def _random_soup(n=1000, seed=0):
+    rng = np.random.RandomState(seed)
+    v0 = rng.uniform(-2, 2, size=(n, 3)).astype(np.float32)
+    e1 = rng.uniform(-0.3, 0.3, size=(n, 3)).astype(np.float32)
+    e2 = rng.uniform(-0.3, 0.3, size=(n, 3)).astype(np.float32)
+    return v0, e1, e2
+
+
+@pytest.mark.parametrize("branching,cluster", [(2, 16), (8, 64), (4, 32)])
+def test_bvh_invariants(branching, cluster):
+    v0, e1, e2 = _random_soup(777)
+    order, node_lo, node_hi, spec = accel.build_cluster_bvh(
+        v0, e1, e2, cluster_size=cluster, branching=branching)
+    # every real triangle appears exactly once
+    real = order[order >= 0]
+    assert sorted(real.tolist()) == list(range(777))
+    assert spec.padded_triangles == len(order)
+    # parent AABB contains children (heap order: children of g are g*B+1..+B)
+    b = spec.branching
+    for g in range(spec.first_leaf):
+        c0 = g * b + 1
+        child_lo = node_lo[c0:c0 + b]
+        child_hi = node_hi[c0:c0 + b]
+        valid = child_hi[:, 0] >= child_lo[:, 0]
+        if valid.any():
+            assert (node_lo[g] <= child_lo[valid].min(axis=0) + 1e-6).all()
+            assert (node_hi[g] >= child_hi[valid].max(axis=0) - 1e-6).all()
+        # triangles inside their leaf AABB
+    t = spec.num_triangles
+    p0 = np.zeros((spec.padded_triangles, 3), np.float32)
+    p0[order >= 0] = v0[order[order >= 0]]
+    leaf_of = np.arange(spec.padded_triangles) // spec.cluster_size
+    lo = node_lo[spec.first_leaf + leaf_of]
+    hi = node_hi[spec.first_leaf + leaf_of]
+    mask = (order >= 0)
+    assert (p0[mask] >= lo[mask] - 1e-5).all()
+    assert (p0[mask] <= hi[mask] + 1e-5).all()
+
+
+def _scene_geom(cluster=64, branching=8):
+    scene = plane_sphere_scene(32, 32)
+    data, spec = scene.build(cluster_size=cluster, branching=branching)
+    return data, spec
+
+
+def _random_rays(n, seed=1):
+    rng = np.random.RandomState(seed)
+    o = rng.uniform(-3, 3, size=(n, 3)).astype(np.float32)
+    o[:, 1] = np.abs(o[:, 1])  # above ground to make hits likely
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return jnp.asarray(o), jnp.asarray(d)
+
+
+@pytest.mark.parametrize("cluster,branching", [(64, 8), (32, 2)])
+def test_packet_matches_bruteforce_closest(cluster, branching):
+    data, spec = _scene_geom(cluster, branching)
+    o, d = _random_rays(512)
+    mask = jnp.ones((512,), bool)
+    ref = jax.jit(lambda o, d: T.trace_closest_bruteforce(
+        o, d, mask, data.geometry))(o, d)
+    got = jax.jit(lambda o, d: T.trace_closest(
+        o, d, mask, data.geometry, data.node_lo, data.node_hi, spec.bvh,
+        block=128))(o, d)
+    np.testing.assert_array_equal(np.asarray(got.tri >= 0),
+                                  np.asarray(ref.tri >= 0))
+    hits = np.asarray(ref.tri >= 0)
+    np.testing.assert_allclose(np.asarray(got.t)[hits],
+                               np.asarray(ref.t)[hits], rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(got.tri)[hits],
+                                  np.asarray(ref.tri)[hits])
+
+
+def test_packet_matches_bruteforce_any():
+    data, spec = _scene_geom()
+    o, d = _random_rays(512, seed=3)
+    mask = jnp.ones((512,), bool)
+    max_t = jnp.full((512,), 4.0)
+    ref = jax.jit(lambda o, d: T.trace_any_bruteforce(
+        o, d, max_t, mask, data.geometry))(o, d)
+    got = jax.jit(lambda o, d: T.trace_any(
+        o, d, max_t, mask, data.geometry, data.node_lo, data.node_hi,
+        spec.bvh, block=128))(o, d)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_masked_rays_never_hit():
+    data, spec = _scene_geom()
+    o, d = _random_rays(256, seed=5)
+    mask = jnp.zeros((256,), bool)
+    got = T.trace_closest(o, d, mask, data.geometry, data.node_lo,
+                          data.node_hi, spec.bvh, block=128)
+    assert (np.asarray(got.tri) == -1).all()
+
+
+def test_single_cluster_scene():
+    """Tiny scene where the BVH root is the only leaf (levels == 0)."""
+    v0, e1, e2 = _random_soup(10, seed=9)
+    order, node_lo, node_hi, spec = accel.build_cluster_bvh(
+        v0, e1, e2, cluster_size=16, branching=8)
+    assert spec.levels == 0 and spec.first_leaf == 0
+    from metal_raytracing_tpu.scene import GeometryTable
+
+    def permute(a):
+        out = np.zeros((spec.padded_triangles, 3), np.float32)
+        out[order >= 0] = a[order[order >= 0]]
+        return jnp.asarray(out)
+
+    geom = GeometryTable(
+        v0=permute(v0), e1=permute(e1), e2=permute(e2),
+        n0=permute(v0), n1=permute(v0), n2=permute(v0),
+        material_id=jnp.zeros((spec.padded_triangles,), jnp.int32))
+    o, d = _random_rays(128, seed=11)
+    mask = jnp.ones((128,), bool)
+    ref = T.trace_closest_bruteforce(o, d, mask, geom)
+    got = T.trace_closest(o, d, mask, geom, jnp.asarray(node_lo),
+                          jnp.asarray(node_hi), spec, block=128)
+    np.testing.assert_array_equal(np.asarray(got.tri), np.asarray(ref.tri))
