@@ -1,0 +1,60 @@
+"""Benchmark harness: Mrays/s (primary+shadow) on the dragon scene.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "Mrays/s", "vs_baseline": N}
+
+The reference publishes no numbers (SURVEY.md §6); the baseline is the
+north-star target from BASELINE.json: >= 50 Mrays/s sustained on the dragon
+scene at 1024x1024 on one TPU v5e chip.  ``vs_baseline`` is value / 50.
+
+Environment knobs:
+    BENCH_SIZE=1024      image width == height
+    BENCH_SAMPLES=4      timed progressive samples (after 1 warmup)
+    BENCH_SCENE=dragon
+    BENCH_TRACER=bvh     bvh | pallas | bruteforce
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+
+def main() -> int:
+    size = int(os.environ.get("BENCH_SIZE", "1024"))
+    samples = int(os.environ.get("BENCH_SAMPLES", "4"))
+    scene_name = os.environ.get("BENCH_SCENE", "dragon")
+    tracer = os.environ.get("BENCH_TRACER", "bvh")
+
+    from metal_raytracing_tpu.renderer import Renderer
+    from metal_raytracing_tpu.scenes import get_scene
+    from metal_raytracing_tpu.types import RenderConfig
+    from metal_raytracing_tpu.utils.metrics import benchmark_renderer
+
+    scene = get_scene(scene_name, size, size)
+    cfg = RenderConfig(width=size, height=size, max_bounces=3, tracer=tracer,
+                       ray_block=int(os.environ.get("BENCH_RAY_BLOCK", "2048")))
+    renderer = Renderer(scene, cfg)
+    result = benchmark_renderer(renderer, samples=samples, warmup=1)
+
+    value = result.mrays_per_sec
+    print(json.dumps({
+        "metric": (f"Mrays/s primary+shadow, {scene_name} scene "
+                   f"{size}x{size}, tracer={tracer}"),
+        "value": round(value, 3),
+        "unit": "Mrays/s",
+        "vs_baseline": round(value / 50.0, 4),
+    }))
+    # Diagnostics on stderr (not part of the JSON contract).
+    print(
+        f"# {result.rays} rays in {result.seconds:.3f}s over "
+        f"{result.samples} samples; compile+warmup {result.compile_seconds:.1f}s; "
+        f"64spp frame ~= {result.frame_seconds(64):.1f}s; "
+        f"{scene.triangle_count} triangles",
+        file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

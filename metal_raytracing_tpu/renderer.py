@@ -43,7 +43,8 @@ from .ops.intersect import BIG_T
 from .scene import Scene, SceneData, SceneSpec
 from .types import RenderConfig
 
-__all__ = ["render_sample", "accumulate", "Renderer", "make_pixel_offsets"]
+__all__ = ["render_sample", "render_rays", "pixel_coords", "accumulate",
+           "Renderer", "make_pixel_offsets"]
 
 
 def make_pixel_offsets(cfg: RenderConfig) -> jnp.ndarray:
@@ -99,29 +100,36 @@ def _make_tracers(data: SceneData, spec: SceneSpec, cfg: RenderConfig):
     return closest, any_hit
 
 
-def render_sample(
+def pixel_coords(cfg: RenderConfig) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Flat (H*W,) pixel x/y coordinate arrays in row-major order."""
+    xs = jnp.arange(cfg.width, dtype=jnp.float32)
+    ys = jnp.arange(cfg.height, dtype=jnp.float32)
+    return jnp.tile(xs, cfg.height), jnp.repeat(ys, cfg.width)
+
+
+def render_rays(
     data: SceneData,
     spec: SceneSpec,
     cfg: RenderConfig,
-    offsets: jnp.ndarray,  # (H*W,) i32 per-pixel Halton offsets
+    px: jnp.ndarray,  # (N,) f32 pixel x coordinates
+    py: jnp.ndarray,  # (N,) f32 pixel y coordinates
+    offsets: jnp.ndarray,  # (N,) i32 per-pixel Halton offsets
     frame_index: jnp.ndarray,  # () i32 sample index
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    """Render one sample per pixel; returns ((H, W, 3) radiance, stats).
+    """Path-trace one sample for an arbitrary flat set of pixels.
 
-    ``stats`` counts traced rays for the Mrays/s metric: ``closest_rays`` and
-    ``shadow_rays`` (the two intersector call sites of the reference,
-    Raytracing.metal:244 and :367).
+    Returns ((N, 3) radiance, stats).  This is the shardable core: multi-chip
+    tile sharding feeds each device a disjoint slice of pixels (SURVEY.md
+    §2e).  ``stats`` counts traced rays for the Mrays/s metric:
+    ``closest_rays`` and ``shadow_rays`` (the two intersector call sites of
+    the reference, Raytracing.metal:244 and :367).
     """
     w, h = cfg.width, cfg.height
-    n = w * h
+    n = px.shape[0]
     block = cfg.ray_block
     p = -(-n // block) * block  # rays padded to a block multiple
     lcount = spec.light_count
 
-    xs = jnp.arange(w, dtype=jnp.float32)
-    ys = jnp.arange(h, dtype=jnp.float32)
-    px = jnp.tile(xs, h)
-    py = jnp.repeat(ys, w)
     pad = p - n
     px = jnp.pad(px, (0, pad))
     py = jnp.pad(py, (0, pad))
@@ -206,9 +214,22 @@ def render_sample(
         d = sampling.align_hemisphere_with_normal(local, ns)
         o = pos + ns * 1e-3
 
-    img = accum[:n].reshape(h, w, 3)
     stats = {"closest_rays": closest_count, "shadow_rays": shadow_count}
-    return img, stats
+    return accum[:n], stats
+
+
+def render_sample(
+    data: SceneData,
+    spec: SceneSpec,
+    cfg: RenderConfig,
+    offsets: jnp.ndarray,  # (H*W,) i32 per-pixel Halton offsets
+    frame_index: jnp.ndarray,  # () i32 sample index
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Render one full-frame sample; returns ((H, W, 3) radiance, stats)."""
+    px, py = pixel_coords(cfg)
+    radiance, stats = render_rays(data, spec, cfg, px, py, offsets,
+                                  frame_index)
+    return radiance.reshape(cfg.height, cfg.width, 3), stats
 
 
 def accumulate(prev: jnp.ndarray, sample: jnp.ndarray,

@@ -1,0 +1,115 @@
+"""Metrics & timing: Mrays/s, wavefront occupancy, per-pass wall clock.
+
+The reference has no programmatic metrics at all (SURVEY.md §5 — only debug
+labels for Xcode frame capture and a one-shot pipeline-stats print,
+reference: Renderer.swift:102-104).  This framework defines the missing
+baseline: rays/second (primary+shadow, the metric of BASELINE.json),
+wavefront occupancy (live-ray fraction per bounce), and wall-clock per
+sample, measured with ``block_until_ready`` fences.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["BenchResult", "benchmark_renderer", "wavefront_stats"]
+
+
+@dataclasses.dataclass
+class BenchResult:
+    scene: str
+    width: int
+    height: int
+    samples: int
+    rays: int  # closest + shadow rays actually traced
+    seconds: float  # wall clock over the timed samples
+    compile_seconds: float  # first (warmup) step incl. jit compile
+
+    @property
+    def mrays_per_sec(self) -> float:
+        return self.rays / max(self.seconds, 1e-12) / 1e6
+
+    @property
+    def per_sample_seconds(self) -> float:
+        return self.seconds / max(self.samples, 1)
+
+    def frame_seconds(self, spp: int) -> float:
+        """Extrapolated wall clock for an spp-sample frame (the
+        BASELINE.json '1024^2 @ 64spp wall-clock' figure)."""
+        return self.per_sample_seconds * spp
+
+    def asdict(self) -> dict:
+        d = dataclasses.asdict(self)
+        d["mrays_per_sec"] = self.mrays_per_sec
+        d["per_sample_seconds"] = self.per_sample_seconds
+        return d
+
+
+def benchmark_renderer(renderer, samples: int = 4,
+                       warmup: int = 1) -> BenchResult:
+    """Time progressive sample steps with device fences.
+
+    ``warmup`` steps (jit compile + autotuning) are excluded from the timed
+    window; ray counts come from the renderer's own traced-ray telemetry.
+    """
+    t0 = time.perf_counter()
+    for _ in range(warmup):
+        renderer.step()
+    jax.block_until_ready(renderer.accum)
+    compile_s = time.perf_counter() - t0
+
+    rays_before = renderer.total_closest_rays + renderer.total_shadow_rays
+    t0 = time.perf_counter()
+    for _ in range(samples):
+        renderer.step()
+    jax.block_until_ready(renderer.accum)
+    seconds = time.perf_counter() - t0
+    rays = (renderer.total_closest_rays + renderer.total_shadow_rays
+            - rays_before)
+
+    return BenchResult(
+        scene=getattr(renderer.scene, "name", "scene"),
+        width=renderer.cfg.width, height=renderer.cfg.height,
+        samples=samples, rays=rays, seconds=seconds,
+        compile_seconds=compile_s)
+
+
+def wavefront_stats(data, spec, cfg, offsets) -> Dict[str, object]:
+    """Per-bounce wavefront occupancy (live-ray fraction) and shadow-ray
+    fraction for one sample — the divergence telemetry the reference's
+    bitonic-sort experiment was groping toward (reference:
+    Raytracing.metal:179-197, README.md:9)."""
+    from ..renderer import render_sample
+    from ..ops import trace as trace_ops
+
+    # Re-run the pipeline per-bounce by rendering with increasing depth and
+    # differencing the ray counters.
+    import dataclasses as dc
+
+    counts: List[int] = []
+    shadows: List[int] = []
+    prev_c = prev_s = 0
+    for b in range(1, cfg.max_bounces + 1):
+        cfg_b = dc.replace(cfg, max_bounces=b)
+        _, stats = jax.jit(
+            lambda d, o: render_sample(d, spec, cfg_b, o, jnp.int32(0)))(
+                data, offsets)
+        c, s = int(stats["closest_rays"]), int(stats["shadow_rays"])
+        counts.append(c - prev_c)
+        shadows.append(s - prev_s)
+        prev_c, prev_s = c, s
+    n = cfg.width * cfg.height
+    return {
+        "pixels": n,
+        "closest_per_bounce": counts,
+        "shadow_per_bounce": shadows,
+        "occupancy_per_bounce": [c / n for c in counts],
+        "total_rays": prev_c + prev_s,
+        "rays_per_pixel": (prev_c + prev_s) / n,
+    }
