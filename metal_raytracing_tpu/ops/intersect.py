@@ -14,8 +14,10 @@ import jax.numpy as jnp
 __all__ = ["safe_inverse", "ray_aabb", "moller_trumbore", "BIG_T"]
 
 # Stand-in for the reference's INFINITY max ray distance
-# (Raytracing.metal:220) that stays finite under f32 arithmetic.
-BIG_T = jnp.float32(1e30)
+# (Raytracing.metal:220) that stays finite under f32 arithmetic.  A Python
+# float (not a jnp array) so Pallas kernels can use it without capturing a
+# traced constant.
+BIG_T = 1e30
 
 
 def safe_inverse(d: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:

@@ -29,6 +29,7 @@ environment lighting on miss, emissive materials, specular reflection
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Dict, Optional, Tuple
 
@@ -70,6 +71,10 @@ def _normalize(v, eps=1e-20):
 
 
 def _make_tracers(data: SceneData, spec: SceneSpec, cfg: RenderConfig):
+    tracer = cfg.tracer
+    if tracer == "auto":
+        tracer = "pallas" if jax.default_backend() == "tpu" else "bvh"
+    cfg = dataclasses.replace(cfg, tracer=tracer)
     if cfg.tracer == "bruteforce":
         closest = functools.partial(
             trace_ops.trace_closest_bruteforce, geometry=data.geometry)
@@ -88,12 +93,12 @@ def _make_tracers(data: SceneData, spec: SceneSpec, cfg: RenderConfig):
         from .ops import trace_pallas
 
         closest = functools.partial(
-            trace_pallas.trace_closest, geometry=data.geometry,
-            node_lo=data.node_lo, node_hi=data.node_hi, spec=spec.bvh,
+            trace_pallas.trace_closest, sup=data.sup_planes,
+            clu=data.clu_planes, tri=data.tri_planes, spec=spec.bvh,
             block=cfg.ray_block)
         any_hit = functools.partial(
-            trace_pallas.trace_any, geometry=data.geometry,
-            node_lo=data.node_lo, node_hi=data.node_hi, spec=spec.bvh,
+            trace_pallas.trace_any, sup=data.sup_planes,
+            clu=data.clu_planes, tri=data.tri_planes, spec=spec.bvh,
             block=cfg.ray_block)
     else:
         raise ValueError(f"unknown tracer {cfg.tracer!r}")
@@ -105,6 +110,42 @@ def pixel_coords(cfg: RenderConfig) -> Tuple[jnp.ndarray, jnp.ndarray]:
     xs = jnp.arange(cfg.width, dtype=jnp.float32)
     ys = jnp.arange(cfg.height, dtype=jnp.float32)
     return jnp.tile(xs, cfg.height), jnp.repeat(ys, cfg.width)
+
+
+# Tile shapes per ray-block size: each traversal block of rays covers a
+# compact image tile instead of a thin row strip, so the rays share BVH
+# nodes — the analog of the reference's 8x8 threadgroup dispatch
+# (reference: Renderer.swift:295-300; Raytracing.metal:156).
+_TILE_SHAPES = {128: (8, 16), 256: (16, 16), 512: (16, 32), 1024: (32, 32)}
+
+
+def tile_shape(cfg: RenderConfig) -> Optional[Tuple[int, int]]:
+    """(tile_h, tile_w) when the image divides evenly, else None."""
+    th_tw = _TILE_SHAPES.get(cfg.ray_block)
+    if th_tw is None:
+        return None
+    th, tw = th_tw
+    if cfg.height % th or cfg.width % tw:
+        return None
+    return th, tw
+
+
+def _tile_flatten(img2d: jnp.ndarray, th: int, tw: int) -> jnp.ndarray:
+    """(H, W, ...) -> flat (H*W, ...) in tile-major order."""
+    h, w = img2d.shape[0], img2d.shape[1]
+    rest = img2d.shape[2:]
+    t = img2d.reshape((h // th, th, w // tw, tw) + rest)
+    t = jnp.moveaxis(t, 2, 1)  # (H/th, W/tw, th, tw, ...)
+    return t.reshape((h * w,) + rest)
+
+
+def _tile_unflatten(flat: jnp.ndarray, h: int, w: int, th: int,
+                    tw: int) -> jnp.ndarray:
+    """Inverse of :func:`_tile_flatten`."""
+    rest = flat.shape[1:]
+    t = flat.reshape((h // th, w // tw, th, tw) + rest)
+    t = jnp.moveaxis(t, 1, 2)  # (H/th, th, W/tw, tw, ...)
+    return t.reshape((h, w) + rest)
 
 
 def render_rays(
@@ -225,10 +266,22 @@ def render_sample(
     offsets: jnp.ndarray,  # (H*W,) i32 per-pixel Halton offsets
     frame_index: jnp.ndarray,  # () i32 sample index
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    """Render one full-frame sample; returns ((H, W, 3) radiance, stats)."""
+    """Render one full-frame sample; returns ((H, W, 3) radiance, stats).
+
+    Pixels are traced in tile-major order when the image divides into
+    ray-block-sized tiles (coherent traversal blocks), then restored to
+    row-major for the output image."""
     px, py = pixel_coords(cfg)
+    tiles = tile_shape(cfg)
+    if tiles is not None:
+        th, tw = tiles
+        px = _tile_flatten(px.reshape(cfg.height, cfg.width), th, tw)
+        py = _tile_flatten(py.reshape(cfg.height, cfg.width), th, tw)
+        offsets = _tile_flatten(offsets.reshape(cfg.height, cfg.width), th, tw)
     radiance, stats = render_rays(data, spec, cfg, px, py, offsets,
                                   frame_index)
+    if tiles is not None:
+        return _tile_unflatten(radiance, cfg.height, cfg.width, th, tw), stats
     return radiance.reshape(cfg.height, cfg.width, 3), stats
 
 

@@ -71,6 +71,11 @@ class SceneData(NamedTuple):
     lights: LightTable
     materials: MaterialTable
     camera: Camera
+    # Prepacked Pallas-kernel layouts (pack_scene_planes): super AABB planes,
+    # per-super cluster planes, triangle component planes.
+    sup_planes: jnp.ndarray = None  # (6, 128) f32
+    clu_planes: jnp.ndarray = None  # (NS, 6, S) f32
+    tri_planes: jnp.ndarray = None  # (9, T) f32
     env_map: Optional[jnp.ndarray] = None  # (He, We, 3) f32 lat-long, or None
 
 
@@ -175,13 +180,21 @@ def build_scene_data(
     )
     light_table = pack_lights(list(lights))
     material_table = pack_materials(materials)
+    from .ops.trace_pallas import pack_scene_planes
+
+    node_lo_j = jnp.asarray(node_lo)
+    node_hi_j = jnp.asarray(node_hi)
+    sup, clu, tri = pack_scene_planes(geometry, node_lo_j, node_hi_j, bvh_spec)
     data = SceneData(
         geometry=geometry,
-        node_lo=jnp.asarray(node_lo),
-        node_hi=jnp.asarray(node_hi),
+        node_lo=node_lo_j,
+        node_hi=node_hi_j,
         lights=light_table,
         materials=material_table,
         camera=camera,
+        sup_planes=sup,
+        clu_planes=clu,
+        tri_planes=tri,
         env_map=None if env_map is None else jnp.asarray(env_map, jnp.float32),
     )
     spec = SceneSpec(

@@ -222,10 +222,11 @@ class RenderConfig:
     max_bounces: int = 3  # reference hardcodes 3 (Raytracing.metal:237)
     rand_offset_bits: int = 20  # arc4random() % 2^20 (Renderer.swift:263-270)
     seed: int = 0
-    # Traversal backend: "bruteforce" | "bvh" | "pallas"
-    tracer: str = "bvh"
-    cluster_size: int = 64  # triangles per BVH leaf cluster
-    ray_block: int = 256  # rays per Pallas block
+    # Traversal backend: "auto" (pallas on TPU, bvh elsewhere) |
+    # "bruteforce" | "bvh" | "pallas"
+    tracer: str = "auto"
+    cluster_size: int = 128  # triangles per BVH leaf cluster (pallas: 128)
+    ray_block: int = 128  # rays per traversal block
     # Shade extensions beyond the reference's diffuse-only shading
     enable_specular: bool = False
     enable_emission: bool = False

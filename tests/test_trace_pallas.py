@@ -1,0 +1,78 @@
+"""Pallas two-phase tracer vs brute-force oracle (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from metal_raytracing_tpu.ops import trace as T
+from metal_raytracing_tpu.ops import trace_pallas as TP
+from metal_raytracing_tpu.scenes import plane_sphere_scene
+
+
+@pytest.fixture(scope="module")
+def scene_data():
+    scene = plane_sphere_scene(32, 32)
+    return scene.build(cluster_size=64)
+
+
+def _rays(n, seed=1):
+    rng = np.random.RandomState(seed)
+    o = rng.uniform(-3, 3, size=(n, 3)).astype(np.float32)
+    o[:, 1] = np.abs(o[:, 1])
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return jnp.asarray(o), jnp.asarray(d)
+
+
+def test_pallas_closest_matches_oracle(scene_data):
+    data, spec = scene_data
+    o, d = _rays(256)
+    mask = jnp.ones((256,), bool)
+    ref = T.trace_closest_bruteforce(o, d, mask, data.geometry)
+    got = TP.trace_closest(o, d, mask, data.sup_planes, data.clu_planes,
+                           data.tri_planes, spec.bvh, block=128)
+    hits = np.asarray(ref.tri >= 0)
+    np.testing.assert_array_equal(np.asarray(got.tri >= 0), hits)
+    np.testing.assert_array_equal(np.asarray(got.tri)[hits],
+                                  np.asarray(ref.tri)[hits])
+    np.testing.assert_allclose(np.asarray(got.t)[hits],
+                               np.asarray(ref.t)[hits], rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(got.u)[hits],
+                               np.asarray(ref.u)[hits], atol=1e-5)
+
+
+def test_pallas_any_matches_oracle(scene_data):
+    data, spec = scene_data
+    o, d = _rays(256, seed=3)
+    mask = jnp.ones((256,), bool)
+    max_t = jnp.full((256,), 4.0)
+    ref = T.trace_any_bruteforce(o, d, max_t, mask, data.geometry)
+    got = TP.trace_any(o, d, max_t, mask, data.sup_planes, data.clu_planes,
+                       data.tri_planes, spec.bvh, block=128)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_pallas_masked_rays(scene_data):
+    data, spec = scene_data
+    o, d = _rays(128, seed=5)
+    mask = jnp.zeros((128,), bool)
+    got = TP.trace_closest(o, d, mask, data.sup_planes, data.clu_planes,
+                           data.tri_planes, spec.bvh, block=128)
+    assert (np.asarray(got.tri) == -1).all()
+
+
+def test_pallas_renderer_image(scene_data):
+    from metal_raytracing_tpu.renderer import Renderer
+    from metal_raytracing_tpu.scenes import plane_sphere_scene
+    from metal_raytracing_tpu.types import RenderConfig
+    from metal_raytracing_tpu.io.image import rmse
+
+    scene = plane_sphere_scene(32, 32)
+    cfg_ref = RenderConfig(width=32, height=32, max_bounces=2,
+                           tracer="bruteforce", ray_block=128)
+    cfg_pal = RenderConfig(width=32, height=32, max_bounces=2,
+                           tracer="pallas", ray_block=128)
+    ref = Renderer(scene, cfg_ref).render(1)
+    got = Renderer(scene, cfg_pal).render(1)
+    assert rmse(ref, got) < 1e-6
