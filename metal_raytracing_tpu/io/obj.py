@@ -123,8 +123,81 @@ def _resolve(idx: int, count: int) -> int:
     return idx - 1 if idx > 0 else count + idx
 
 
-def load_obj(path: str, compute_normals: bool = True) -> LoadedModel:
-    """Parse an OBJ file (plus its mtllib) into a LoadedModel."""
+def load_obj(path: str, compute_normals: bool = True,
+             use_native: Optional[bool] = None) -> LoadedModel:
+    """Parse an OBJ file (plus its mtllib) into a LoadedModel.
+
+    Uses the native C++ parser (native/objparse.cpp) when its shared library
+    is available (built on demand); set ``MRT_NO_NATIVE=1`` or
+    ``use_native=False`` to force the pure-Python path.
+    """
+    if use_native is None:
+        use_native = not os.environ.get("MRT_NO_NATIVE")
+    if use_native:
+        from .native import parse_obj_native
+
+        raw = parse_obj_native(path)
+        if raw is not None:
+            return _from_native(raw, path, compute_normals)
+    return _load_obj_python(path, compute_normals)
+
+
+def _from_native(raw, path: str, compute_normals: bool) -> LoadedModel:
+    """Convert a native parse to LoadedModel with semantics identical to
+    the pure-Python path (normal synthesis, uv gating, empty submeshes)."""
+    base_dir = os.path.dirname(os.path.abspath(path))
+    materials: Dict[str, Material] = {}
+    for rel in raw.mtllibs:
+        mtl_path = os.path.join(base_dir, rel)
+        if os.path.exists(mtl_path):
+            materials.update(load_mtl(mtl_path))
+
+    pos = raw.positions
+    have_normals = raw.normals.shape[0] > 0
+    have_uv = raw.texcoords.shape[0] > 0
+
+    synthesized = None
+    need_synth = (not have_normals and compute_normals) or any(
+        have_normals and (tn < 0).any() for _, _, tn, _ in raw.submeshes)
+    if need_synth:
+        all_tris = [[(int(a), -1, int(a)) for a in tri]
+                    for _, tp, _, _ in raw.submeshes for tri in tp]
+        synthesized = _smooth_vertex_normals(pos, all_tris)
+
+    name = os.path.splitext(os.path.basename(path))[0]
+    default_mat = Material(base_color=(1.0, 1.0, 1.0), name="default")
+    submeshes: List[SubmeshData] = []
+    for mat_name, tp, tn, tu in raw.submeshes:
+        if tp.shape[0] == 0:
+            continue
+        if have_normals:
+            tri_nrm = np.where(tn < 0, tp, tn) if (tn < 0).any() else tn
+        else:
+            tri_nrm = tp.copy()
+        has_uv = have_uv and (tu >= 0).all()
+        submeshes.append(SubmeshData(
+            material_name=mat_name,
+            material=materials.get(mat_name, default_mat),
+            tri_pos_idx=tp,
+            tri_norm_idx=tri_nrm,
+            tri_uv_idx=tu if has_uv else None,
+        ))
+
+    if have_normals:
+        out_normals = raw.normals
+    elif synthesized is not None:
+        out_normals = synthesized
+    else:
+        out_normals = np.zeros_like(pos)
+    return LoadedModel(
+        name=name, positions=pos, normals=out_normals,
+        texcoords=raw.texcoords if have_uv else None,
+        submeshes=submeshes, face_count=raw.face_count,
+    )
+
+
+def _load_obj_python(path: str, compute_normals: bool = True) -> LoadedModel:
+    """Pure-Python OBJ parse (fallback + correctness oracle)."""
     positions: List[Tuple[float, float, float]] = []
     normals: List[Tuple[float, float, float]] = []
     texcoords: List[Tuple[float, float]] = []

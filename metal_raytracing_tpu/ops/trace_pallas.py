@@ -162,18 +162,18 @@ def _mt_block(ocol, dcol, tri, t_max_col):
     return t, u, v, hit
 
 
-def _ray_views(rays_ref):
-    o_rows = tuple(rays_ref[0, i, :][None, :] for i in range(3))
-    d_rows = tuple(rays_ref[0, i + 3, :][None, :] for i in range(3))
+def _ray_views(rays_ref, t):
+    o_rows = tuple(rays_ref[t, i, :][None, :] for i in range(3))
+    d_rows = tuple(rays_ref[t, i + 3, :][None, :] for i in range(3))
     inv_rows = tuple(_safe_inv_row(dr) for dr in d_rows)
     ocol = tuple(r.T for r in o_rows)
     dcol = tuple(r.T for r in d_rows)
     # Booleans derive from f32 AFTER any transpose — Mosaic cannot transpose
     # i1 vectors.
-    maskf_row = rays_ref[0, 6, :][None, :]
+    maskf_row = rays_ref[t, 6, :][None, :]
     mask_row = maskf_row > 0.0
     mask_col = maskf_row.T > 0.0
-    maxt_row = rays_ref[0, 7, :][None, :]
+    maxt_row = rays_ref[t, 7, :][None, :]
     maxt_col = maxt_row.T
     return o_rows, d_rows, inv_rows, ocol, dcol, mask_row, mask_col, maxt_row, maxt_col
 
@@ -184,24 +184,39 @@ def _box_cols(ref_rows):
 
 
 def _closest_kernel(rays_ref, sup_ref, clu_ref, tri_ref,
-                    tuv_ref, tri_out_ref, *, s_per: int, c_size: int, r: int):
+                    tuv_ref, tri_out_ref, *, s_per: int, c_size: int, r: int,
+                    tb: int):
+  # Several ray tiles per grid step amortize the ~3.3us fixed grid-step
+  # cost (DMA + dispatch) that would otherwise dominate the traversal.
+  def tile_body(t, _carry):
     (o_rows, d_rows, inv_rows, ocol, dcol, mask_row, mask_col,
-     _, _) = _ray_views(rays_ref)
+     _, _) = _ray_views(rays_ref, t)
 
     sup_cols = _box_cols(sup_ref)
     tn_s, hit_s = _slab_cols(sup_cols, o_rows, inv_rows, BIG_T)  # (NSP, R)
     hit_s = hit_s & mask_row
-    sup_tmin = jnp.min(jnp.where(hit_s, jnp.maximum(tn_s, 0.0), BIG_T),
-                       axis=1, keepdims=True)  # (NSP, 1)
+    tn_s = jnp.maximum(tn_s, 0.0)
 
     sup_iota = jax.lax.broadcasted_iota(jnp.int32, (NSP, 1), 0)
     clu_iota = jax.lax.broadcasted_iota(jnp.int32, (s_per, 1), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (r, c_size), 1)
 
+    def sup_score(visited, best_row):
+        # Per-super entry distance over rays that could still improve —
+        # exact per-ray culling: a super whose surviving rays all have
+        # closer hits scores BIG_T and is never visited.
+        live = hit_s & (tn_s < best_row)
+        score = jnp.min(jnp.where(live, tn_s, BIG_T), axis=1, keepdims=True)
+        return jnp.where(visited > 0.0, BIG_T, score)
+
     def visit_cluster(st):
-        ctmin, best_t, best_u, best_v, best_tri, c_base = st
-        k = jnp.argmin(ctmin[:, 0])
-        ctmin = jnp.where(clu_iota == k, BIG_T, ctmin)
+        (cvis, tn_c, hit_c, best_t, best_u, best_v, best_tri, c_base) = st
+        best_row = best_t.T
+        live = hit_c & (tn_c < best_row)
+        cscore = jnp.min(jnp.where(live, tn_c, BIG_T), axis=1, keepdims=True)
+        cscore = jnp.where(cvis > 0.0, BIG_T, cscore)
+        k = jnp.argmin(cscore[:, 0])
+        cvis = jnp.maximum(cvis, (clu_iota == k).astype(jnp.float32))
         base = pl.multiple_of((c_base + k) * c_size, c_size)
         tri = [tri_ref[row, pl.ds(base, c_size)] for row in range(9)]
         t, u, v, hit = _mt_block(ocol, dcol, tri, best_t)
@@ -214,7 +229,7 @@ def _closest_kernel(rays_ref, sup_ref, clu_ref, tri_ref,
         usel = jnp.sum(jnp.where(first, u, 0.0), axis=1, keepdims=True)
         vsel = jnp.sum(jnp.where(first, v, 0.0), axis=1, keepdims=True)
         upd = tmin < best_t
-        return (ctmin,
+        return (cvis, tn_c, hit_c,
                 jnp.where(upd, tmin, best_t),
                 jnp.where(upd, usel, best_u),
                 jnp.where(upd, vsel, best_v),
@@ -222,33 +237,32 @@ def _closest_kernel(rays_ref, sup_ref, clu_ref, tri_ref,
                 c_base)
 
     def cluster_cond(st):
-        ctmin, best_t, *_ = st
-        max_best = jnp.max(jnp.where(mask_col, best_t, -BIG_T))
-        return jnp.min(ctmin) < max_best
+        cvis, tn_c, hit_c, best_t, *_ = st
+        live = hit_c & (tn_c < best_t.T)
+        cscore = jnp.min(jnp.where(live, tn_c, BIG_T), axis=1, keepdims=True)
+        cscore = jnp.where(cvis > 0.0, BIG_T, cscore)
+        return jnp.min(cscore) < BIG_T * 0.5
 
     def visit_super(st):
-        sup_tmin, best_t, best_u, best_v, best_tri = st
-        s = jnp.argmin(sup_tmin[:, 0])
-        sup_tmin = jnp.where(sup_iota == s, BIG_T, sup_tmin)
-        # cluster slab inside super s
+        svis, best_t, best_u, best_v, best_tri = st
+        score = sup_score(svis, best_t.T)
+        s = jnp.argmin(score[:, 0])
+        svis = jnp.maximum(svis, (sup_iota == s).astype(jnp.float32))
         cp = clu_ref[s]  # (6, S)
-        c_cols = _box_cols(cp)
-        tn_c, hit_c = _slab_cols(c_cols, o_rows, inv_rows, BIG_T)  # (S, R)
+        tn_c, hit_c = _slab_cols(_box_cols(cp), o_rows, inv_rows, BIG_T)
         hit_c = hit_c & mask_row
-        ctmin = jnp.min(jnp.where(hit_c, jnp.maximum(tn_c, 0.0), BIG_T),
-                        axis=1, keepdims=True)  # (S, 1)
-        inner = (ctmin, best_t, best_u, best_v, best_tri,
-                 s * jnp.int32(s_per))
+        tn_c = jnp.maximum(tn_c, 0.0)
+        inner = (jnp.zeros((s_per, 1), jnp.float32), tn_c, hit_c,
+                 best_t, best_u, best_v, best_tri, s * jnp.int32(s_per))
         inner = jax.lax.while_loop(cluster_cond, visit_cluster, inner)
-        _, best_t, best_u, best_v, best_tri, _ = inner
-        return (sup_tmin, best_t, best_u, best_v, best_tri)
+        _, _, _, best_t, best_u, best_v, best_tri, _ = inner
+        return (svis, best_t, best_u, best_v, best_tri)
 
     def super_cond(st):
-        sup_tmin, best_t, *_ = st
-        max_best = jnp.max(jnp.where(mask_col, best_t, -BIG_T))
-        return jnp.min(sup_tmin) < max_best
+        svis, best_t, *_ = st
+        return jnp.min(sup_score(svis, best_t.T)) < BIG_T * 0.5
 
-    init = (sup_tmin,
+    init = (jnp.zeros((NSP, 1), jnp.float32),
             jnp.full((r, 1), BIG_T, jnp.float32),
             jnp.zeros((r, 1), jnp.float32),
             jnp.zeros((r, 1), jnp.float32),
@@ -256,84 +270,103 @@ def _closest_kernel(rays_ref, sup_ref, clu_ref, tri_ref,
     _, best_t, best_u, best_v, best_tri = jax.lax.while_loop(
         super_cond, visit_super, init)
 
-    tuv_ref[0, 0, :] = best_t[:, 0]
-    tuv_ref[0, 1, :] = best_u[:, 0]
-    tuv_ref[0, 2, :] = best_v[:, 0]
-    tri_out_ref[0, 0, :] = best_tri[:, 0]
+    tuv_ref[t, 0, :] = best_t[:, 0]
+    tuv_ref[t, 1, :] = best_u[:, 0]
+    tuv_ref[t, 2, :] = best_v[:, 0]
+    tri_out_ref[t, 0, :] = best_tri[:, 0]
+    return _carry
+
+  jax.lax.fori_loop(0, tb, tile_body, jnp.int32(0))
 
 
 def _any_kernel(rays_ref, sup_ref, clu_ref, tri_ref, occ_ref,
-                *, s_per: int, c_size: int, r: int):
+                *, s_per: int, c_size: int, r: int, tb: int):
+  def tile_body(t, _carry):
     (o_rows, d_rows, inv_rows, ocol, dcol, mask_row, mask_col,
-     maxt_row, maxt_col) = _ray_views(rays_ref)
+     maxt_row, maxt_col) = _ray_views(rays_ref, t)
 
     sup_cols = _box_cols(sup_ref)
     tn_s, hit_s = _slab_cols(sup_cols, o_rows, inv_rows, maxt_row)
     hit_s = hit_s & mask_row
-    sup_tmin = jnp.min(jnp.where(hit_s, jnp.maximum(tn_s, 0.0), BIG_T),
-                       axis=1, keepdims=True)
 
     sup_iota = jax.lax.broadcasted_iota(jnp.int32, (NSP, 1), 0)
     clu_iota = jax.lax.broadcasted_iota(jnp.int32, (s_per, 1), 0)
 
-    # occlusion state is carried as f32 0/1 — Mosaic cannot yield i1
-    # vectors through while_loop state
+    # occlusion carried as f32 rows (1, R): Mosaic cannot transpose or
+    # loop-carry i1 vectors.
+    def sup_score(visited, occ_row):
+        live = hit_s & (occ_row < 0.5)
+        score = jnp.min(jnp.where(live, jnp.maximum(tn_s, 0.0), BIG_T),
+                        axis=1, keepdims=True)
+        return jnp.where(visited > 0.0, BIG_T, score)
+
     def visit_cluster(st):
-        ctmin, occluded, c_base = st
-        k = jnp.argmin(ctmin[:, 0])
-        ctmin = jnp.where(clu_iota == k, BIG_T, ctmin)
+        cvis, tn_c, hit_c, occ_row, c_base = st
+        live = hit_c & (occ_row < 0.5)
+        cscore = jnp.min(jnp.where(live, tn_c, BIG_T), axis=1, keepdims=True)
+        cscore = jnp.where(cvis > 0.0, BIG_T, cscore)
+        k = jnp.argmin(cscore[:, 0])
+        cvis = jnp.maximum(cvis, (clu_iota == k).astype(jnp.float32))
         base = pl.multiple_of((c_base + k) * c_size, c_size)
         tri = [tri_ref[row, pl.ds(base, c_size)] for row in range(9)]
         _, _, _, hit = _mt_block(ocol, dcol, tri, maxt_col)
-        hit = hit & mask_col & (occluded < 0.5)
-        newly = jnp.any(hit, axis=1, keepdims=True)
-        return (ctmin, jnp.maximum(occluded, newly.astype(jnp.float32)),
-                c_base)
+        hit = hit & mask_col & (occ_row.T < 0.5)
+        newly = jnp.any(hit, axis=1, keepdims=True).astype(jnp.float32)
+        occ_row = jnp.maximum(occ_row, newly.T)
+        return (cvis, tn_c, hit_c, occ_row, c_base)
 
     def cluster_cond(st):
-        ctmin, occluded, _ = st
-        active = mask_col & (occluded < 0.5)
-        horizon = jnp.max(jnp.where(active, maxt_col, -BIG_T))
-        return jnp.min(ctmin) < horizon
+        cvis, tn_c, hit_c, occ_row, _ = st
+        live = hit_c & (occ_row < 0.5)
+        cscore = jnp.min(jnp.where(live, tn_c, BIG_T), axis=1, keepdims=True)
+        cscore = jnp.where(cvis > 0.0, BIG_T, cscore)
+        return jnp.min(cscore) < BIG_T * 0.5
 
     def visit_super(st):
-        sup_tmin, occluded = st
-        s = jnp.argmin(sup_tmin[:, 0])
-        sup_tmin = jnp.where(sup_iota == s, BIG_T, sup_tmin)
+        svis, occ_row = st
+        score = sup_score(svis, occ_row)
+        s = jnp.argmin(score[:, 0])
+        svis = jnp.maximum(svis, (sup_iota == s).astype(jnp.float32))
         cp = clu_ref[s]
-        c_cols = _box_cols(cp)
-        # (no ~occluded filter here: bool vectors cannot transpose to rows;
-        # already-occluded rays merely keep clusters in the conservative
-        # ctmin, and the triangle test masks them out)
-        tn_c, hit_c = _slab_cols(c_cols, o_rows, inv_rows, maxt_row)
+        tn_c, hit_c = _slab_cols(_box_cols(cp), o_rows, inv_rows, maxt_row)
         hit_c = hit_c & mask_row
-        ctmin = jnp.min(jnp.where(hit_c, jnp.maximum(tn_c, 0.0), BIG_T),
-                        axis=1, keepdims=True)
-        inner = (ctmin, occluded, s * jnp.int32(s_per))
+        tn_c = jnp.maximum(tn_c, 0.0)
+        inner = (jnp.zeros((s_per, 1), jnp.float32), tn_c, hit_c, occ_row,
+                 s * jnp.int32(s_per))
         inner = jax.lax.while_loop(cluster_cond, visit_cluster, inner)
-        return (sup_tmin, inner[1])
+        return (svis, inner[3])
 
     def super_cond(st):
-        sup_tmin, occluded = st
-        active = mask_col & (occluded < 0.5)
-        horizon = jnp.max(jnp.where(active, maxt_col, -BIG_T))
-        return jnp.min(sup_tmin) < horizon
+        svis, occ_row = st
+        return jnp.min(sup_score(svis, occ_row)) < BIG_T * 0.5
 
-    init = (sup_tmin, jnp.zeros((r, 1), jnp.float32))
-    _, occluded = jax.lax.while_loop(super_cond, visit_super, init)
-    occ_ref[0, 0, :] = occluded[:, 0].astype(jnp.int32)
+    init = (jnp.zeros((NSP, 1), jnp.float32), 1.0 - mask_row.astype(jnp.float32))
+    _, occ_row = jax.lax.while_loop(super_cond, visit_super, init)
+    # masked-off rays were seeded "occluded" to kill their work; report 0
+    occ_i32 = (occ_row > 0.5).astype(jnp.int32)
+    occ_ref[t, 0, :] = jnp.where(mask_row, occ_i32, 0)[0, :]
+    return _carry
+
+  jax.lax.fori_loop(0, tb, tile_body, jnp.int32(0))
 
 
 def _should_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _pallas_trace(kernel, out_shapes, out_specs, rays, sup, clu, tri, nb,
-                  block):
+def _tiles_per_step(nb: int, want: int = 8) -> int:
+    tb = want
+    while nb % tb:
+        tb //= 2
+    return max(tb, 1)
+
+
+def _pallas_trace(kernel, out_shapes, out_specs, rays, sup, clu, tri,
+                  n_steps, tb, block):
     grid_spec = pl.GridSpec(
-        grid=(nb,),
+        grid=(n_steps,),
         in_specs=[
-            pl.BlockSpec((1, 8, block), lambda i: (i, 0, 0),
+            pl.BlockSpec((tb, 8, block), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # super planes
             pl.BlockSpec(memory_space=pltpu.VMEM),  # cluster planes
@@ -350,7 +383,7 @@ def _pallas_trace(kernel, out_shapes, out_specs, rays, sup, clu, tri, nb,
 
 
 def trace_closest(o, d, mask, sup, clu, tri, spec: BVHSpec,
-                  block: int = 128) -> Hit:
+                  block: int = 128, tiles_per_step: int = 8) -> Hit:
     """Closest-hit query via the hierarchical Pallas tracer.
 
     ``sup``/``clu``/``tri`` are the prepacked planes from
@@ -360,21 +393,23 @@ def trace_closest(o, d, mask, sup, clu, tri, spec: BVHSpec,
     s_per, ns = super_layout(spec)
     t_max = jnp.full((n,), BIG_T)
     rays, nb = _pack_rays(o, d, mask, t_max, block)
+    tb = _tiles_per_step(nb, tiles_per_step)
+    n_steps = nb // tb
 
     kernel = functools.partial(_closest_kernel, s_per=s_per,
-                               c_size=spec.cluster_size, r=block)
+                               c_size=spec.cluster_size, r=block, tb=tb)
     out_shapes = (
         jax.ShapeDtypeStruct((nb, 3, block), jnp.float32),
         jax.ShapeDtypeStruct((nb, 1, block), jnp.int32),
     )
     out_specs = (
-        pl.BlockSpec((1, 3, block), lambda i: (i, 0, 0),
+        pl.BlockSpec((tb, 3, block), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, block), lambda i: (i, 0, 0),
+        pl.BlockSpec((tb, 1, block), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
     )
     tuv, tri_id = _pallas_trace(kernel, out_shapes, out_specs, rays, sup,
-                                clu, tri, nb, block)
+                                clu, tri, n_steps, tb, block)
     return Hit(
         t=tuv[:, 0, :].reshape(n),
         u=tuv[:, 1, :].reshape(n),
@@ -384,19 +419,21 @@ def trace_closest(o, d, mask, sup, clu, tri, spec: BVHSpec,
 
 
 def trace_any(o, d, max_t, mask, sup, clu, tri, spec: BVHSpec,
-              block: int = 128):
+              block: int = 128, tiles_per_step: int = 8):
     """Any-hit occlusion query via the hierarchical Pallas tracer."""
     n = o.shape[0]
     assert n % block == 0, f"ray count {n} not a multiple of block {block}"
     s_per, ns = super_layout(spec)
     rays, nb = _pack_rays(o, d, mask, max_t, block)
+    tb = _tiles_per_step(nb, tiles_per_step)
+    n_steps = nb // tb
 
     kernel = functools.partial(_any_kernel, s_per=s_per,
-                               c_size=spec.cluster_size, r=block)
+                               c_size=spec.cluster_size, r=block, tb=tb)
     occ = _pallas_trace(
         kernel,
         jax.ShapeDtypeStruct((nb, 1, block), jnp.int32),
-        pl.BlockSpec((1, 1, block), lambda i: (i, 0, 0),
+        pl.BlockSpec((tb, 1, block), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
-        rays, sup, clu, tri, nb, block)
+        rays, sup, clu, tri, n_steps, tb, block)
     return occ.reshape(n) > 0

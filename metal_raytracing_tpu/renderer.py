@@ -195,10 +195,31 @@ def render_rays(
     color = jnp.ones((p, 3))  # path throughput (Raytracing.metal:226)
     accum = jnp.zeros((p, 3))
     alive = mask
+    # ``cur`` maps the current (possibly compacted) ray order back to the
+    # original pixel slot; the radiance scatters through it at the end.
+    cur = jnp.arange(p, dtype=jnp.int32)
     closest_count = jnp.int32(0)
     shadow_count = jnp.int32(0)
 
     for bounce in range(cfg.max_bounces):
+        if cfg.compaction and bounce > 0:
+            # Stable partition: live rays first (preserving tile coherence),
+            # dead rays pack into whole blocks that traversal skips at fixed
+            # cost.  cumsum-based — no sort (TPU sorts are slow).
+            n_alive = jnp.sum(alive.astype(jnp.int32))
+            pos_alive = jnp.cumsum(alive.astype(jnp.int32)) - 1
+            pos_dead = n_alive + jnp.cumsum((~alive).astype(jnp.int32)) - 1
+            dest = jnp.where(alive, pos_alive, pos_dead)  # old slot -> new
+            perm = jnp.zeros((p,), jnp.int32).at[dest].set(
+                jnp.arange(p, dtype=jnp.int32))  # new slot -> old
+            o = o[perm]
+            d = d[perm]
+            color = color[perm]
+            accum = accum[perm]
+            idx = idx[perm]
+            alive = alive[perm]
+            cur = cur[perm]
+
         closest_count += jnp.sum(alive.astype(jnp.int32))
         hit = closest_fn(o, d, alive)
 
@@ -256,7 +277,11 @@ def render_rays(
         o = pos + ns * 1e-3
 
     stats = {"closest_rays": closest_count, "shadow_rays": shadow_count}
-    return accum[:n], stats
+    if cfg.compaction and cfg.max_bounces > 1:
+        radiance = jnp.zeros((p, 3)).at[cur].set(accum)
+    else:
+        radiance = accum
+    return radiance[:n], stats
 
 
 def render_sample(

@@ -227,6 +227,11 @@ class RenderConfig:
     tracer: str = "auto"
     cluster_size: int = 128  # triangles per BVH leaf cluster (pallas: 128)
     ray_block: int = 128  # rays per traversal block
+    # Wavefront compaction: permute rays so live rays pack into full
+    # traversal blocks between bounces (the realized version of the
+    # reference's dead bitonic-sort divergence experiment,
+    # Raytracing.metal:179-197, README.md:9).
+    compaction: bool = True
     # Shade extensions beyond the reference's diffuse-only shading
     enable_specular: bool = False
     enable_emission: bool = False
