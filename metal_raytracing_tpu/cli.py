@@ -40,8 +40,8 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--spp", type=int, default=4, help="samples per pixel")
     r.add_argument("--bounces", type=int, default=3,
                    help="path depth (reference hardcodes 3)")
-    r.add_argument("--tracer", default="bvh",
-                   choices=("bvh", "bruteforce", "pallas"))
+    r.add_argument("--tracer", default="auto",
+                   choices=("auto", "bvh", "bruteforce", "pallas"))
     r.add_argument("--seed", type=int, default=0)
     r.add_argument("--out", default="render.png")
     r.add_argument("--hdr-out", default=None,
@@ -49,6 +49,12 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--no-tonemap", action="store_true")
     r.add_argument("--env-map", action="store_true",
                    help="enable HDR environment lighting on miss")
+    r.add_argument("--specular", action="store_true",
+                   help="enable specular (Ks/Ns) reflection lobes")
+    r.add_argument("--emission", action="store_true",
+                   help="enable emissive (Ke) materials")
+    r.add_argument("--no-compaction", action="store_true",
+                   help="disable live-ray compaction between bounces")
     r.add_argument("--checkpoint", default=None,
                    help="checkpoint path for save/resume")
     r.add_argument("--resume", action="store_true",
@@ -67,7 +73,10 @@ def cmd_render(args) -> int:
     cfg = RenderConfig(
         width=width, height=height, spp=args.spp, max_bounces=args.bounces,
         seed=args.seed, tracer=args.tracer,
-        env_map=args.env_map or scene.env_map is not None)
+        env_map=args.env_map or scene.env_map is not None,
+        enable_specular=args.specular or scene.name == "coatball",
+        enable_emission=args.emission,
+        compaction=not args.no_compaction)
 
     t0 = time.perf_counter()
     renderer = Renderer(scene, cfg)

@@ -258,7 +258,8 @@ def render_rays(
         ndotl = jnp.clip(jnp.sum(ns * ls.direction, axis=-1), 0.0, 1.0)
         lcolor = ls.color * ndotl[:, None] * lcount  # :331-335
 
-        color = jnp.where(alive[:, None], color * base_color, color)  # :339
+        # Diffuse throughput for this vertex's NEE (reference: :339).
+        dcolor = jnp.where(alive[:, None], color * base_color, color)
 
         do_shadow = alive & (jnp.linalg.norm(lcolor, axis=-1) > 1e-4)  # :341
         shadow_count += jnp.sum(do_shadow.astype(jnp.int32))
@@ -266,14 +267,50 @@ def render_rays(
         occluded = any_fn(shadow_o, ls.direction, ls.distance - 1e-3,
                           do_shadow)
         visible = do_shadow & ~occluded
-        accum += jnp.where(visible[:, None], lcolor * color, 0.0)  # :371-373
+        accum += jnp.where(visible[:, None], lcolor * dcolor, 0.0)  # :371-373
 
-        # Cosine-weighted bounce (reference: :384-391).
+        # Bounce continuation.  Reference path: always cosine-weighted
+        # diffuse, throughput = dcolor (:384-391).  Extension
+        # (cfg.enable_specular, the reference's declared TODO README.md:8):
+        # per-ray lobe choice between the diffuse lobe and a Phong lobe
+        # around the mirror direction, energy-weighted by Ks/Kd.
         r_bounce = jnp.stack(
             [sampling.halton(idx, sampling.bounce_dim(bounce, 3)),
              sampling.halton(idx, sampling.bounce_dim(bounce, 4))], axis=-1)
         local = sampling.sample_cosine_weighted_hemisphere(r_bounce)
-        d = sampling.align_hemisphere_with_normal(local, ns)
+        d_diffuse = sampling.align_hemisphere_with_normal(local, ns)
+
+        if cfg.enable_specular:
+            spec_color = mats.specular[mid]
+            shininess = mats.specular_exponent[mid][:, None]
+            kd_max = jnp.max(base_color, axis=-1)
+            ks_max = jnp.max(spec_color, axis=-1)
+            p_spec = ks_max / jnp.maximum(kd_max + ks_max, 1e-6)
+            # lobe-choice dimension beyond the reference's schedule so the
+            # shared dims keep pixel parity when Ks == 0
+            xi = sampling.halton(
+                idx, 2 + 5 * cfg.max_bounces + bounce)
+            take_spec = alive & (xi < p_spec) & (ks_max > 0.0)
+            refl = d - 2.0 * jnp.sum(d * ns, axis=-1, keepdims=True) * ns
+            # Phong-lobe sample about the mirror direction
+            cos_a = r_bounce[:, 1:2] ** (1.0 / (shininess + 1.0))
+            sin_a = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_a * cos_a))
+            phi = 2.0 * jnp.pi * r_bounce[:, 0:1]
+            lobe = jnp.concatenate(
+                [sin_a * jnp.cos(phi), cos_a, sin_a * jnp.sin(phi)], axis=-1)
+            d_spec = sampling.align_hemisphere_with_normal(lobe, refl)
+            # keep specular samples above the surface
+            below = jnp.sum(d_spec * ns, axis=-1, keepdims=True) <= 0.0
+            d_spec = jnp.where(below, refl, d_spec)
+            p_spec_c = jnp.clip(p_spec, 1e-6, 1.0 - 1e-6)[:, None]
+            spec_tp = color * spec_color / p_spec_c
+            diff_tp = jnp.where(alive[:, None],
+                                color * base_color / (1.0 - p_spec_c), color)
+            d = jnp.where(take_spec[:, None], d_spec, d_diffuse)
+            color = jnp.where(take_spec[:, None], spec_tp, diff_tp)
+        else:
+            d = d_diffuse
+            color = dcolor
         o = pos + ns * 1e-3
 
     stats = {"closest_rays": closest_count, "shadow_rays": shadow_count}

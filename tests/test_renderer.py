@@ -107,3 +107,20 @@ def test_more_bounces_add_energy(small_scene):
     img1 = Renderer(small_scene, _cfg(max_bounces=1)).render(1)
     img3 = Renderer(small_scene, _cfg(max_bounces=3)).render(1)
     assert img3.sum() > img1.sum()
+
+
+def test_specular_extension_runs(small_scene):
+    from metal_raytracing_tpu.scenes import coatball_scene
+
+    scene = coatball_scene(32, 24)
+    cfg = RenderConfig(width=32, height=24, max_bounces=2, tracer="bvh",
+                       ray_block=128, enable_specular=True,
+                       enable_emission=True)
+    img = Renderer(scene, cfg).render(1)
+    assert np.isfinite(img).all() and img.max() > 0.0
+
+
+def test_compaction_matches_uncompacted(small_scene):
+    img_on = Renderer(small_scene, _cfg(compaction=True)).render(1)
+    img_off = Renderer(small_scene, _cfg(compaction=False)).render(1)
+    assert rmse(img_on, img_off) < 1e-7
