@@ -85,12 +85,12 @@ def wavefront_stats(data, spec, cfg, offsets) -> Dict[str, object]:
     fraction for one sample — the divergence telemetry the reference's
     bitonic-sort experiment was groping toward (reference:
     Raytracing.metal:179-197, README.md:9)."""
+    import dataclasses as dc
+
     from ..renderer import render_sample
-    from ..ops import trace as trace_ops
 
     # Re-run the pipeline per-bounce by rendering with increasing depth and
     # differencing the ray counters.
-    import dataclasses as dc
 
     counts: List[int] = []
     shadows: List[int] = []
