@@ -64,7 +64,60 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--quiet", action="store_true")
 
     sub.add_parser("scenes", help="list available scenes")
+
+    pa = sub.add_parser(
+        "parity",
+        help="render on the accelerator and on CPU; report RMSE "
+             "(BASELINE: < 1e-3)")
+    pa.add_argument("--scene", default="plane_sphere", choices=sorted(SCENES))
+    pa.add_argument("--size", type=_parse_size, default=(64, 64),
+                    metavar="WxH")
+    pa.add_argument("--spp", type=int, default=1)
+    pa.add_argument("--bounces", type=int, default=3)
+    pa.add_argument("--seed", type=int, default=0)
     return p
+
+
+def cmd_parity(args) -> int:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .io.image import rmse
+    from .renderer import accumulate, make_pixel_offsets, render_sample
+
+    width, height = args.size
+    scene = get_scene(args.scene, width, height)
+    cfg = RenderConfig(width=width, height=height, max_bounces=args.bounces,
+                       seed=args.seed, env_map=scene.env_map is not None)
+    data, spec = scene.build(cluster_size=cfg.cluster_size)
+    offsets = make_pixel_offsets(cfg)
+
+    images = {}
+    devices = {"accel": jax.devices()[0]}
+    cpus = jax.devices("cpu") if jax.default_backend() != "cpu" else []
+    if cpus:
+        devices["cpu"] = cpus[0]
+    for name, dev in devices.items():
+        d = jax.device_put(data, dev)
+        o = jax.device_put(offsets, dev)
+        acc = jnp.zeros((height, width, 3), device=dev)
+        with jax.default_device(dev):
+            step = jax.jit(lambda dd, oo, fi: render_sample(
+                dd, spec, cfg, oo, fi))
+            for k in range(args.spp):
+                sample, _ = step(d, o, jnp.int32(k))
+                acc = accumulate(acc, sample, k)
+        images[name] = np.asarray(jax.device_get(acc))
+
+    if len(images) < 2:
+        print(f"single backend ({jax.default_backend()}); nothing to compare")
+        return 0
+    err = rmse(images["accel"], images["cpu"])
+    ok = err < 1e-3
+    print(f"scene={args.scene} {width}x{height} spp={args.spp} "
+          f"RMSE={err:.3e} -> {'PASS' if ok else 'FAIL'} (target < 1e-3)")
+    return 0 if ok else 1
 
 
 def cmd_render(args) -> int:
@@ -134,6 +187,8 @@ def main(argv=None) -> int:
         return cmd_render(args)
     if args.command == "scenes":
         return cmd_scenes(args)
+    if args.command == "parity":
+        return cmd_parity(args)
     return 1
 
 

@@ -49,9 +49,27 @@ NSP = 128  # padded super count: one (NSP, 1) column vector per block
 
 
 def pack_triangle_planes(geometry) -> jnp.ndarray:
-    """(9, T) f32 component planes [v0 | e1 | e2] for lane-sliced leaf loads."""
+    """(12, T) f32 Baldwin-Weber triangle planes for lane-sliced leaf loads.
+
+    Precomputed per triangle: plane normal n = e1 x e2 and its offset
+    n.v0, plus affine barycentric row vectors U, uw / V, vw such that for a
+    point P on the plane u = U.P + uw, v = V.P + vw (u paired with corner 1,
+    v with corner 2 — the same convention as Metal's barycentrics consumed
+    by interpolateVertexAttribute, reference: Raytracing.metal:60-73).
+    ~30 VPU ops per (ray, triangle) pair vs ~45 for Moller-Trumbore.
+    Degenerate (padding) triangles have n = 0 -> NaN barycentrics -> miss.
+    Rows: [n(3), n.v0, U(3), uw, V(3), vw].
+    """
+    v0, e1, e2 = geometry.v0, geometry.e1, geometry.e2
+    n = jnp.cross(e1, e2)
+    nn = jnp.sum(n * n, axis=-1, keepdims=True)
+    u3 = jnp.cross(e2, n) / nn
+    v3 = jnp.cross(n, e1) / nn
+    d_const = jnp.sum(n * v0, axis=-1, keepdims=True)
+    uw = -jnp.sum(u3 * v0, axis=-1, keepdims=True)
+    vw = -jnp.sum(v3 * v0, axis=-1, keepdims=True)
     return jnp.concatenate(
-        [geometry.v0.T, geometry.e1.T, geometry.e2.T], axis=0)
+        [n.T, d_const.T, u3.T, uw.T, v3.T, vw.T], axis=0)
 
 
 def _super_size(nc: int) -> int:
@@ -134,30 +152,29 @@ def _slab_cols(box_cols, o_rows, inv_rows, t_max):
     return tn, hit
 
 
+N_TRI_PLANES = 12
+
+
 def _mt_block(ocol, dcol, tri, t_max_col):
-    """Dense (R, C) Moller-Trumbore: ray columns (R, 1) x triangle rows
-    (1, C)."""
-    v0x, v0y, v0z = tri[0][None, :], tri[1][None, :], tri[2][None, :]
-    e1x, e1y, e1z = tri[3][None, :], tri[4][None, :], tri[5][None, :]
-    e2x, e2y, e2z = tri[6][None, :], tri[7][None, :], tri[8][None, :]
+    """Dense (R, C) Baldwin-Weber intersection: ray columns (R, 1) x
+    precomputed triangle plane rows (1, C); see pack_triangle_planes."""
+    nx, ny, nz = tri[0][None, :], tri[1][None, :], tri[2][None, :]
+    d_const = tri[3][None, :]
+    ux, uy, uz, uw = (tri[4][None, :], tri[5][None, :], tri[6][None, :],
+                      tri[7][None, :])
+    vx, vy, vz, vw = (tri[8][None, :], tri[9][None, :], tri[10][None, :],
+                      tri[11][None, :])
     ox, oy, oz = ocol
     dx, dy, dz = dcol
 
-    px = dy * e2z - dz * e2y
-    py = dz * e2x - dx * e2z
-    pz = dx * e2y - dy * e2x
-    det = e1x * px + e1y * py + e1z * pz
-    inv_det = 1.0 / det
-    tx = ox - v0x
-    ty = oy - v0y
-    tz = oz - v0z
-    u = (tx * px + ty * py + tz * pz) * inv_det
-    qx = ty * e1z - tz * e1y
-    qy = tz * e1x - tx * e1z
-    qz = tx * e1y - ty * e1x
-    v = (dx * qx + dy * qy + dz * qz) * inv_det
-    t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-    hit = ((jnp.abs(det) > 1e-12) & (u >= 0.0) & (v >= 0.0)
+    den = nx * dx + ny * dy + nz * dz
+    t = (d_const - (nx * ox + ny * oy + nz * oz)) / den
+    px = ox + t * dx
+    py = oy + t * dy
+    pz = oz + t * dz
+    u = ux * px + uy * py + uz * pz + uw
+    v = vx * px + vy * py + vz * pz + vw
+    hit = ((jnp.abs(den) > 1e-16) & (u >= 0.0) & (v >= 0.0)
            & (u + v <= 1.0) & (t > 1e-6) & (t <= t_max_col))
     return t, u, v, hit
 
@@ -209,16 +226,19 @@ def _closest_kernel(rays_ref, sup_ref, clu_ref, tri_ref,
         score = jnp.min(jnp.where(live, tn_s, BIG_T), axis=1, keepdims=True)
         return jnp.where(visited > 0.0, BIG_T, score)
 
-    def visit_cluster(st):
-        (cvis, tn_c, hit_c, best_t, best_u, best_v, best_tri, c_base) = st
-        best_row = best_t.T
-        live = hit_c & (tn_c < best_row)
+    def cluster_score(cvis, tn_c, hit_c, best_t):
+        live = hit_c & (tn_c < best_t.T)
         cscore = jnp.min(jnp.where(live, tn_c, BIG_T), axis=1, keepdims=True)
-        cscore = jnp.where(cvis > 0.0, BIG_T, cscore)
+        return jnp.where(cvis > 0.0, BIG_T, cscore)
+
+    def visit_cluster(st):
+        (cscore, cvis, tn_c, hit_c, best_t, best_u, best_v, best_tri,
+         c_base) = st
         k = jnp.argmin(cscore[:, 0])
         cvis = jnp.maximum(cvis, (clu_iota == k).astype(jnp.float32))
         base = pl.multiple_of((c_base + k) * c_size, c_size)
-        tri = [tri_ref[row, pl.ds(base, c_size)] for row in range(9)]
+        tri = [tri_ref[row, pl.ds(base, c_size)]
+               for row in range(N_TRI_PLANES)]
         t, u, v, hit = _mt_block(ocol, dcol, tri, best_t)
         hit = hit & mask_col
         tt = jnp.where(hit, t, BIG_T)
@@ -229,45 +249,44 @@ def _closest_kernel(rays_ref, sup_ref, clu_ref, tri_ref,
         usel = jnp.sum(jnp.where(first, u, 0.0), axis=1, keepdims=True)
         vsel = jnp.sum(jnp.where(first, v, 0.0), axis=1, keepdims=True)
         upd = tmin < best_t
-        return (cvis, tn_c, hit_c,
-                jnp.where(upd, tmin, best_t),
+        best_t = jnp.where(upd, tmin, best_t)
+        return (cluster_score(cvis, tn_c, hit_c, best_t), cvis, tn_c, hit_c,
+                best_t,
                 jnp.where(upd, usel, best_u),
                 jnp.where(upd, vsel, best_v),
                 jnp.where(upd, base + idx, best_tri),
                 c_base)
 
     def cluster_cond(st):
-        cvis, tn_c, hit_c, best_t, *_ = st
-        live = hit_c & (tn_c < best_t.T)
-        cscore = jnp.min(jnp.where(live, tn_c, BIG_T), axis=1, keepdims=True)
-        cscore = jnp.where(cvis > 0.0, BIG_T, cscore)
-        return jnp.min(cscore) < BIG_T * 0.5
+        return jnp.min(st[0]) < BIG_T * 0.5
 
     def visit_super(st):
-        svis, best_t, best_u, best_v, best_tri = st
-        score = sup_score(svis, best_t.T)
+        score, svis, best_t, best_u, best_v, best_tri = st
         s = jnp.argmin(score[:, 0])
         svis = jnp.maximum(svis, (sup_iota == s).astype(jnp.float32))
         cp = clu_ref[s]  # (6, S)
         tn_c, hit_c = _slab_cols(_box_cols(cp), o_rows, inv_rows, BIG_T)
         hit_c = hit_c & mask_row
         tn_c = jnp.maximum(tn_c, 0.0)
-        inner = (jnp.zeros((s_per, 1), jnp.float32), tn_c, hit_c,
-                 best_t, best_u, best_v, best_tri, s * jnp.int32(s_per))
+        cvis0 = jnp.zeros((s_per, 1), jnp.float32)
+        inner = (cluster_score(cvis0, tn_c, hit_c, best_t), cvis0, tn_c,
+                 hit_c, best_t, best_u, best_v, best_tri,
+                 s * jnp.int32(s_per))
         inner = jax.lax.while_loop(cluster_cond, visit_cluster, inner)
-        _, _, _, best_t, best_u, best_v, best_tri, _ = inner
-        return (svis, best_t, best_u, best_v, best_tri)
+        _, _, _, _, best_t, best_u, best_v, best_tri, _ = inner
+        return (sup_score(svis, best_t.T), svis, best_t, best_u, best_v,
+                best_tri)
 
     def super_cond(st):
-        svis, best_t, *_ = st
-        return jnp.min(sup_score(svis, best_t.T)) < BIG_T * 0.5
+        return jnp.min(st[0]) < BIG_T * 0.5
 
-    init = (jnp.zeros((NSP, 1), jnp.float32),
-            jnp.full((r, 1), BIG_T, jnp.float32),
+    svis0 = jnp.zeros((NSP, 1), jnp.float32)
+    best0 = jnp.full((r, 1), BIG_T, jnp.float32)
+    init = (sup_score(svis0, best0.T), svis0, best0,
             jnp.zeros((r, 1), jnp.float32),
             jnp.zeros((r, 1), jnp.float32),
             jnp.full((r, 1), -1, jnp.int32))
-    _, best_t, best_u, best_v, best_tri = jax.lax.while_loop(
+    _, _, best_t, best_u, best_v, best_tri = jax.lax.while_loop(
         super_cond, visit_super, init)
 
     tuv_ref[t, 0, :] = best_t[:, 0]
@@ -300,48 +319,50 @@ def _any_kernel(rays_ref, sup_ref, clu_ref, tri_ref, occ_ref,
                         axis=1, keepdims=True)
         return jnp.where(visited > 0.0, BIG_T, score)
 
-    def visit_cluster(st):
-        cvis, tn_c, hit_c, occ_row, c_base = st
+    def cluster_score(cvis, tn_c, hit_c, occ_row):
         live = hit_c & (occ_row < 0.5)
         cscore = jnp.min(jnp.where(live, tn_c, BIG_T), axis=1, keepdims=True)
-        cscore = jnp.where(cvis > 0.0, BIG_T, cscore)
+        return jnp.where(cvis > 0.0, BIG_T, cscore)
+
+    def visit_cluster(st):
+        cscore, cvis, tn_c, hit_c, occ_row, c_base = st
         k = jnp.argmin(cscore[:, 0])
         cvis = jnp.maximum(cvis, (clu_iota == k).astype(jnp.float32))
         base = pl.multiple_of((c_base + k) * c_size, c_size)
-        tri = [tri_ref[row, pl.ds(base, c_size)] for row in range(9)]
+        tri = [tri_ref[row, pl.ds(base, c_size)]
+               for row in range(N_TRI_PLANES)]
         _, _, _, hit = _mt_block(ocol, dcol, tri, maxt_col)
         hit = hit & mask_col & (occ_row.T < 0.5)
         newly = jnp.any(hit, axis=1, keepdims=True).astype(jnp.float32)
         occ_row = jnp.maximum(occ_row, newly.T)
-        return (cvis, tn_c, hit_c, occ_row, c_base)
+        return (cluster_score(cvis, tn_c, hit_c, occ_row), cvis, tn_c, hit_c,
+                occ_row, c_base)
 
     def cluster_cond(st):
-        cvis, tn_c, hit_c, occ_row, _ = st
-        live = hit_c & (occ_row < 0.5)
-        cscore = jnp.min(jnp.where(live, tn_c, BIG_T), axis=1, keepdims=True)
-        cscore = jnp.where(cvis > 0.0, BIG_T, cscore)
-        return jnp.min(cscore) < BIG_T * 0.5
+        return jnp.min(st[0]) < BIG_T * 0.5
 
     def visit_super(st):
-        svis, occ_row = st
-        score = sup_score(svis, occ_row)
+        score, svis, occ_row = st
         s = jnp.argmin(score[:, 0])
         svis = jnp.maximum(svis, (sup_iota == s).astype(jnp.float32))
         cp = clu_ref[s]
         tn_c, hit_c = _slab_cols(_box_cols(cp), o_rows, inv_rows, maxt_row)
         hit_c = hit_c & mask_row
         tn_c = jnp.maximum(tn_c, 0.0)
-        inner = (jnp.zeros((s_per, 1), jnp.float32), tn_c, hit_c, occ_row,
-                 s * jnp.int32(s_per))
+        cvis0 = jnp.zeros((s_per, 1), jnp.float32)
+        inner = (cluster_score(cvis0, tn_c, hit_c, occ_row), cvis0, tn_c,
+                 hit_c, occ_row, s * jnp.int32(s_per))
         inner = jax.lax.while_loop(cluster_cond, visit_cluster, inner)
-        return (svis, inner[3])
+        occ_row = inner[4]
+        return (sup_score(svis, occ_row), svis, occ_row)
 
     def super_cond(st):
-        svis, occ_row = st
-        return jnp.min(sup_score(svis, occ_row)) < BIG_T * 0.5
+        return jnp.min(st[0]) < BIG_T * 0.5
 
-    init = (jnp.zeros((NSP, 1), jnp.float32), 1.0 - mask_row.astype(jnp.float32))
-    _, occ_row = jax.lax.while_loop(super_cond, visit_super, init)
+    svis0 = jnp.zeros((NSP, 1), jnp.float32)
+    occ0 = 1.0 - mask_row.astype(jnp.float32)
+    init = (sup_score(svis0, occ0), svis0, occ0)
+    _, _, occ_row = jax.lax.while_loop(super_cond, visit_super, init)
     # masked-off rays were seeded "occluded" to kill their work; report 0
     occ_i32 = (occ_row > 0.5).astype(jnp.int32)
     occ_ref[t, 0, :] = jnp.where(mask_row, occ_i32, 0)[0, :]

@@ -70,6 +70,16 @@ def _normalize(v, eps=1e-20):
     return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), eps)
 
 
+def _expand_bits_9(v: jnp.ndarray) -> jnp.ndarray:
+    """Spread the low 9 bits so they occupy every 3rd bit (Morton)."""
+    v = v & 0x1FF
+    v = (v | (v << 16)) & 0x030000FF
+    v = (v | (v << 8)) & 0x0300F00F
+    v = (v | (v << 4)) & 0x030C30C3
+    v = (v | (v << 2)) & 0x09249249
+    return v
+
+
 def _make_tracers(data: SceneData, spec: SceneSpec, cfg: RenderConfig):
     tracer = cfg.tracer
     if tracer == "auto":
@@ -203,15 +213,32 @@ def render_rays(
 
     for bounce in range(cfg.max_bounces):
         if cfg.compaction and bounce > 0:
-            # Stable partition: live rays first (preserving tile coherence),
-            # dead rays pack into whole blocks that traversal skips at fixed
-            # cost.  cumsum-based — no sort (TPU sorts are slow).
-            n_alive = jnp.sum(alive.astype(jnp.int32))
-            pos_alive = jnp.cumsum(alive.astype(jnp.int32)) - 1
-            pos_dead = n_alive + jnp.cumsum((~alive).astype(jnp.int32)) - 1
-            dest = jnp.where(alive, pos_alive, pos_dead)  # old slot -> new
-            perm = jnp.zeros((p,), jnp.int32).at[dest].set(
-                jnp.arange(p, dtype=jnp.int32))  # new slot -> old
+            if cfg.sort_bounces:
+                # Sorted compaction: live rays ordered by (origin Morton,
+                # direction octant) so each traversal block's rays share BVH
+                # nodes even after a diffuse bounce; dead rays sort last
+                # into whole blocks that traversal skips at fixed cost.
+                root_lo = data.node_lo[0]
+                root_ext = jnp.maximum(data.node_hi[0] - root_lo, 1e-12)
+                q = jnp.clip(((o - root_lo) / root_ext) * 512.0,
+                             0.0, 511.0).astype(jnp.int32)
+                m = (_expand_bits_9(q[:, 0]) << 2 |
+                     _expand_bits_9(q[:, 1]) << 1 | _expand_bits_9(q[:, 2]))
+                octant = ((d[:, 0] > 0).astype(jnp.int32)
+                          + 2 * (d[:, 1] > 0).astype(jnp.int32)
+                          + 4 * (d[:, 2] > 0).astype(jnp.int32))
+                key = jnp.where(alive, (m << 3) | octant, jnp.int32(2**30))
+                perm = jnp.argsort(key).astype(jnp.int32)
+            else:
+                # Stable partition only (cumsum-based, no sort): live rays
+                # first, preserving tile coherence.
+                n_alive = jnp.sum(alive.astype(jnp.int32))
+                pos_alive = jnp.cumsum(alive.astype(jnp.int32)) - 1
+                pos_dead = n_alive + jnp.cumsum(
+                    (~alive).astype(jnp.int32)) - 1
+                dest = jnp.where(alive, pos_alive, pos_dead)
+                perm = jnp.zeros((p,), jnp.int32).at[dest].set(
+                    jnp.arange(p, dtype=jnp.int32))  # new slot -> old
             o = o[perm]
             d = d[perm]
             color = color[perm]

@@ -144,6 +144,67 @@ def flatten_instances(
             np.concatenate(mids), materials)
 
 
+def subdivide_oversized(v0, e1, e2, n0, n1, n2, mid,
+                        max_edge_frac: float = 0.1,
+                        max_rounds: int = 24):
+    """Longest-edge bisection of triangles larger than ``max_edge_frac`` of
+    the scene extent.
+
+    Midpoint splits with barycentrically averaged corner normals leave
+    shading bit-identical (normal interpolation is linear), only the BVH
+    layout changes.  Measured on the dragon scene this HURTS (1.68s ->
+    2.15s/sample at frac=0.1): the giant ground/backdrop quads are flat and
+    cheap to test, while subdividing them spreads the floor over many
+    spatially wide clusters that border blocks must all visit.  Off by
+    default; kept as a knob for scenes with genuinely pathological
+    triangles.
+    """
+    a, b, c = v0, v0 + e1, v0 + e2
+    scene_lo = np.minimum(np.minimum(a, b), c).min(axis=0)
+    scene_hi = np.maximum(np.maximum(a, b), c).max(axis=0)
+    max_edge = float((scene_hi - scene_lo).max()) * max_edge_frac
+    na, nb, nc = n0, n1, n2
+    for _ in range(max_rounds):
+        lab = np.linalg.norm(b - a, axis=1)
+        lbc = np.linalg.norm(c - b, axis=1)
+        lca = np.linalg.norm(a - c, axis=1)
+        longest = np.stack([lab, lbc, lca], axis=1)
+        which = np.argmax(longest, axis=1)
+        lmax = longest[np.arange(len(which)), which]
+        over = lmax > max_edge
+        if not over.any():
+            break
+        keep = ~over
+        parts_v = [(a[keep], b[keep], c[keep])]
+        parts_n = [(na[keep], nb[keep], nc[keep])]
+        parts_m = [mid[keep]]
+        for w, (i0, i1, i2) in enumerate(((0, 1, 2), (1, 2, 0), (2, 0, 1))):
+            s = over & (which == w)
+            if not s.any():
+                continue
+            vs = [a[s], b[s], c[s]]
+            ns_ = [na[s], nb[s], nc[s]]
+            vm = 0.5 * (vs[i0] + vs[i1])
+            nm = 0.5 * (ns_[i0] + ns_[i1])
+            # split edge (i0, i1): (v0', m, v2') and (m, v1', v2')
+            parts_v.append((vs[i0], vm, vs[i2]))
+            parts_n.append((ns_[i0], nm, ns_[i2]))
+            parts_m.append(mid[s])
+            parts_v.append((vm, vs[i1], vs[i2]))
+            parts_n.append((nm, ns_[i1], ns_[i2]))
+            parts_m.append(mid[s])
+        a = np.concatenate([p[0] for p in parts_v])
+        b = np.concatenate([p[1] for p in parts_v])
+        c = np.concatenate([p[2] for p in parts_v])
+        na = np.concatenate([p[0] for p in parts_n])
+        nb = np.concatenate([p[1] for p in parts_n])
+        nc = np.concatenate([p[2] for p in parts_n])
+        mid = np.concatenate(parts_m)
+    return (a.astype(np.float32), (b - a).astype(np.float32),
+            (c - a).astype(np.float32), na.astype(np.float32),
+            nb.astype(np.float32), nc.astype(np.float32), mid)
+
+
 def build_scene_data(
     instances: Sequence[Instance],
     lights: Sequence[Light],
@@ -151,6 +212,7 @@ def build_scene_data(
     cluster_size: int = 64,
     branching: int = 8,
     env_map: Optional[np.ndarray] = None,
+    max_edge_frac: float = 0.0,
 ) -> Tuple[SceneData, SceneSpec]:
     """Flatten, Morton-sort, cluster, and upload a scene.
 
@@ -158,6 +220,9 @@ def build_scene_data(
     acceleration-structure round trips (reference: Utilities.swift:29-89).
     """
     v0, e1, e2, n0, n1, n2, mid, materials = flatten_instances(instances)
+    if max_edge_frac:
+        v0, e1, e2, n0, n1, n2, mid = subdivide_oversized(
+            v0, e1, e2, n0, n1, n2, mid, max_edge_frac=max_edge_frac)
     order, node_lo, node_hi, bvh_spec = accel.build_cluster_bvh(
         v0, e1, e2, cluster_size=cluster_size, branching=branching)
 

@@ -232,6 +232,10 @@ class RenderConfig:
     # reference's dead bitonic-sort divergence experiment,
     # Raytracing.metal:179-197, README.md:9).
     compaction: bool = True
+    # Additionally sort live bounce rays by origin-Morton + direction
+    # octant so traversal blocks stay spatially coherent after the first
+    # bounce (costs one argsort per bounce; identical image).
+    sort_bounces: bool = True
     # Shade extensions beyond the reference's diffuse-only shading
     enable_specular: bool = False
     enable_emission: bool = False
