@@ -23,9 +23,9 @@ import sys
 
 def main() -> int:
     size = int(os.environ.get("BENCH_SIZE", "1024"))
-    samples = int(os.environ.get("BENCH_SAMPLES", "4"))
+    samples = int(os.environ.get("BENCH_SAMPLES", "3"))
     scene_name = os.environ.get("BENCH_SCENE", "dragon")
-    tracer = os.environ.get("BENCH_TRACER", "bvh")
+    tracer = os.environ.get("BENCH_TRACER", "auto")
 
     from metal_raytracing_tpu.renderer import Renderer
     from metal_raytracing_tpu.scenes import get_scene
@@ -34,7 +34,7 @@ def main() -> int:
 
     scene = get_scene(scene_name, size, size)
     cfg = RenderConfig(width=size, height=size, max_bounces=3, tracer=tracer,
-                       ray_block=int(os.environ.get("BENCH_RAY_BLOCK", "2048")))
+                       ray_block=int(os.environ.get("BENCH_RAY_BLOCK", "128")))
     renderer = Renderer(scene, cfg)
     result = benchmark_renderer(renderer, samples=samples, warmup=1)
 

@@ -270,15 +270,31 @@ def _torus_knot(p: int = 2, q: int = 3, major: int = 400, minor: int = 128,
 
 
 def _dragon() -> LoadedModel:
-    # ~102k-triangle stand-in for the absent dragon.obj; material per
-    # Resources/dragon.mtl (Kd red, Ks 0.2, Ns 37.25).
-    pos, tris = _torus_knot()
-    # sit on y=0 like a model resting on the ground
+    """~100k-triangle stand-in for the absent dragon.obj; material per
+    Resources/dragon.mtl (Kd red, Ks 0.2, Ns 37.25).
+
+    A closed displaced ellipsoid ("sculpted rock"): like a scanned statue it
+    is a single closed surface with bumpy detail, so its ray-tracing
+    characteristics (depth complexity, bounce occlusion) resemble a real
+    dragon scan.  (An earlier torus-knot stand-in was pathological: diffuse
+    bounce rays inside the knot's cavities see tube walls at every depth,
+    which no closed scan exhibits.)"""
+    pos, tris = _uv_sphere(224, 224, 0.5)
+    rng = np.random.RandomState(42)
+    freqs = rng.normal(size=(12, 3)) * np.array([6.0, 9.0, 6.0])
+    phases = rng.uniform(0, 2 * np.pi, size=12)
+    amps = 0.22 / (1.0 + np.arange(12.0)) ** 0.7
+    disp = np.zeros(pos.shape[0], np.float64)
+    for f, ph, a in zip(freqs, phases, amps):
+        disp += a * np.sin(pos @ f + ph)
+    pos = pos * (1.0 + 0.35 * disp[:, None])
+    # dragon-ish proportions: long body, moderate height
+    pos = pos * np.array([1.5, 0.8, 0.9], np.float32)
     pos[:, 1] -= pos[:, 1].min()
     mat = Material(base_color=(1.0, 0.0, 0.0), specular=(0.2, 0.2, 0.2),
                    specular_exponent=37.254902, refraction_index=1.0,
                    name="Dragon")
-    return _model_from_parts("dragon", [(mat, pos, tris)])
+    return _model_from_parts("dragon", [(mat, pos.astype(np.float32), tris)])
 
 
 def _bunny() -> LoadedModel:

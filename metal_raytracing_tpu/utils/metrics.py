@@ -58,17 +58,19 @@ def benchmark_renderer(renderer, samples: int = 4,
     ``warmup`` steps (jit compile + autotuning) are excluded from the timed
     window; ray counts come from the renderer's own traced-ray telemetry.
     """
+    from .profiling import sync
+
     t0 = time.perf_counter()
     for _ in range(warmup):
         renderer.step()
-    jax.block_until_ready(renderer.accum)
+    sync(renderer.accum)
     compile_s = time.perf_counter() - t0
 
     rays_before = renderer.total_closest_rays + renderer.total_shadow_rays
     t0 = time.perf_counter()
     for _ in range(samples):
         renderer.step()
-    jax.block_until_ready(renderer.accum)
+    sync(renderer.accum)
     seconds = time.perf_counter() - t0
     rays = (renderer.total_closest_rays + renderer.total_shadow_rays
             - rays_before)
