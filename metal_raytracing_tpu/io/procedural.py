@@ -238,37 +238,6 @@ def _train() -> LoadedModel:
     return _model_from_parts("train", parts)
 
 
-def _torus_knot(p: int = 2, q: int = 3, major: int = 400, minor: int = 128,
-                tube: float = 0.11, scale: float = 0.28) -> Tuple[np.ndarray, np.ndarray]:
-    """Dense (p, q) torus-knot tube — the high-poly dragon stand-in body."""
-    t = np.linspace(0, 2 * np.pi, major, endpoint=False)
-    r = 2.0 + np.cos(q * t)
-    center = np.stack([r * np.cos(p * t), r * np.sin(p * t),
-                       -np.sin(q * t)], axis=-1)
-    # Frenet-ish frame via finite differences
-    nxt = np.roll(center, -1, axis=0)
-    tang = nxt - center
-    tang /= np.linalg.norm(tang, axis=1, keepdims=True)
-    ref = np.array([0.0, 0.0, 1.0])
-    n1 = np.cross(tang, ref)
-    n1 /= np.maximum(np.linalg.norm(n1, axis=1, keepdims=True), 1e-9)
-    n2 = np.cross(tang, n1)
-    ph = np.linspace(0, 2 * np.pi, minor, endpoint=False)
-    circ = (np.cos(ph)[None, :, None] * n1[:, None, :]
-            + np.sin(ph)[None, :, None] * n2[:, None, :])
-    pos = (center[:, None, :] + tube * circ).reshape(-1, 3) * scale
-    tris = []
-    for i in range(major):
-        for j in range(minor):
-            a = i * minor + j
-            b = ((i + 1) % major) * minor + j
-            c = ((i + 1) % major) * minor + (j + 1) % minor
-            d = i * minor + (j + 1) % minor
-            tris.append((a, b, c))
-            tris.append((a, c, d))
-    return pos.astype(np.float32), np.asarray(tris, np.int32)
-
-
 def _dragon() -> LoadedModel:
     """~100k-triangle stand-in for the absent dragon.obj; material per
     Resources/dragon.mtl (Kd red, Ks 0.2, Ns 37.25).
