@@ -88,8 +88,11 @@ def cmd_parity(args) -> int:
 
     width, height = args.size
     scene = get_scene(args.scene, width, height)
+    # The jnp packet tracer runs compiled on every backend (the pallas path
+    # would need interpret mode on CPU); it is bit-exact vs pallas anyway.
     cfg = RenderConfig(width=width, height=height, max_bounces=args.bounces,
-                       seed=args.seed, env_map=scene.env_map is not None)
+                       seed=args.seed, tracer="bvh",
+                       env_map=scene.env_map is not None)
     data, spec = scene.build(cluster_size=cfg.cluster_size)
     offsets = make_pixel_offsets(cfg)
 

@@ -63,6 +63,9 @@ def pack_triangle_planes(geometry) -> jnp.ndarray:
     v0, e1, e2 = geometry.v0, geometry.e1, geometry.e2
     n = jnp.cross(e1, e2)
     nn = jnp.sum(n * n, axis=-1, keepdims=True)
+    # Degenerate (padding) triangles have n = 0; keep the precompute finite
+    # (the kernel's |n.d| > eps guard rejects them regardless).
+    nn = jnp.where(nn < 1e-30, 1.0, nn)
     u3 = jnp.cross(e2, n) / nn
     v3 = jnp.cross(n, e1) / nn
     d_const = jnp.sum(n * v0, axis=-1, keepdims=True)

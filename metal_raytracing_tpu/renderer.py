@@ -126,7 +126,8 @@ def pixel_coords(cfg: RenderConfig) -> Tuple[jnp.ndarray, jnp.ndarray]:
 # compact image tile instead of a thin row strip, so the rays share BVH
 # nodes — the analog of the reference's 8x8 threadgroup dispatch
 # (reference: Renderer.swift:295-300; Raytracing.metal:156).
-_TILE_SHAPES = {128: (8, 16), 256: (16, 16), 512: (16, 32), 1024: (32, 32)}
+_TILE_SHAPES = {64: (8, 8), 128: (8, 16), 256: (16, 16), 512: (16, 32),
+                1024: (32, 32)}
 
 
 def tile_shape(cfg: RenderConfig) -> Optional[Tuple[int, int]]:
@@ -270,7 +271,9 @@ def render_rays(
         ns = ((1.0 - uw - vw) * geom.n0[tri] + uw * geom.n1[tri]
               + vw * geom.n2[tri])
         ns = _normalize(ns)
-        pos = o + d * jnp.minimum(hit.t, BIG_T)[:, None]
+        # Dead lanes keep pos = o: a BIG_T miss distance would overflow the
+        # light-distance math into inf*0 NaNs (masked but trips debug_nans).
+        pos = o + d * jnp.where(alive, hit.t, 0.0)[:, None]
 
         mid = geom.material_id[tri]
         base_color = mats.base_color[mid]
