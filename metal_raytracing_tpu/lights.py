@@ -49,15 +49,30 @@ def sample_lights(
     - sun   (Raytracing.metal:323-327): direction -normalize(dir), infinite
       distance, flat color.
     """
-    # Gather the chosen light's fields per ray: (N, 3) / (N,).
-    ltype = lights.type[light_idx]
-    lpos = lights.position[light_idx]
-    lcolor = lights.color[light_idx]
-    lforward = lights.forward[light_idx]
-    lright = lights.right[light_idx]
-    lup = lights.up[light_idx]
-    lcone = lights.cone_angle[light_idx]
-    ldir = lights.direction[light_idx]
+    # Fetch the chosen light's fields per ray.  For the small light tables
+    # of the reference scenes (1-4 lights), an L-way select is far cheaper
+    # than 8 per-index gathers on TPU; large tables fall back to gathers.
+    count = lights.count
+    if count == 1:
+        fetch = lambda f: jnp.broadcast_to(
+            f[0], light_idx.shape + f.shape[1:])
+    elif count <= 4:
+        def fetch(f):
+            idx = light_idx.reshape(light_idx.shape + (1,) * (f.ndim - 1))
+            out = jnp.broadcast_to(f[0], light_idx.shape + f.shape[1:])
+            for i in range(1, count):
+                out = jnp.where(idx == i, f[i], out)
+            return out
+    else:
+        fetch = lambda f: f[light_idx]
+    ltype = fetch(lights.type)
+    lpos = fetch(lights.position)
+    lcolor = fetch(lights.color)
+    lforward = fetch(lights.forward)
+    lright = fetch(lights.right)
+    lup = fetch(lights.up)
+    lcone = fetch(lights.cone_angle)
+    ldir = fetch(lights.direction)
 
     # --- shared point-ish geometry (area sample point / spot / point) ---
     u2 = u * 2.0 - 1.0

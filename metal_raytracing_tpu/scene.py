@@ -75,7 +75,11 @@ class SceneData(NamedTuple):
     # per-super cluster planes, triangle component planes.
     sup_planes: jnp.ndarray = None  # (6, 128) f32
     clu_planes: jnp.ndarray = None  # (NS, 6, S) f32
-    tri_planes: jnp.ndarray = None  # (9, T) f32
+    tri_planes: jnp.ndarray = None  # (12, T) f32
+    # Per-triangle shading rows [n0(3) n1(3) n2(3) kd(3) mat_id pad(3)] so
+    # the shade pass does ONE row gather per hit instead of five separate
+    # gathers (TPU gathers are per-index expensive).
+    shade_table: jnp.ndarray = None  # (T, 16) f32
     env_map: Optional[jnp.ndarray] = None  # (He, We, 3) f32 lat-long, or None
 
 
@@ -250,6 +254,12 @@ def build_scene_data(
     node_lo_j = jnp.asarray(node_lo)
     node_hi_j = jnp.asarray(node_hi)
     sup, clu, tri = pack_scene_planes(geometry, node_lo_j, node_hi_j, bvh_spec)
+    kd = material_table.base_color[geometry.material_id]
+    shade_table = jnp.concatenate([
+        geometry.n0, geometry.n1, geometry.n2, kd,
+        geometry.material_id[:, None].astype(jnp.float32),
+        jnp.zeros((geometry.v0.shape[0], 3), jnp.float32),
+    ], axis=1)
     data = SceneData(
         geometry=geometry,
         node_lo=node_lo_j,
@@ -260,6 +270,7 @@ def build_scene_data(
         sup_planes=sup,
         clu_planes=clu,
         tri_planes=tri,
+        shade_table=shade_table,
         env_map=None if env_map is None else jnp.asarray(env_map, jnp.float32),
     )
     spec = SceneSpec(
