@@ -225,7 +225,10 @@ class RenderConfig:
     # Traversal backend: "auto" (pallas on TPU, bvh elsewhere) |
     # "bruteforce" | "bvh" | "pallas"
     tracer: str = "auto"
-    cluster_size: int = 128  # triangles per BVH leaf cluster (pallas: 128)
+    # Triangles per BVH leaf cluster.  Pallas requires a multiple of 128
+    # (aligned lane slices); 384 measured best on the dragon scene (bigger
+    # leaves amortize the per-visit extract-min machinery).
+    cluster_size: int = 384
     ray_block: int = 128  # rays per traversal block
     # Wavefront compaction: permute rays so live rays pack into full
     # traversal blocks between bounces (the realized version of the
