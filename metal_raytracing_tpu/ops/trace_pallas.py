@@ -239,7 +239,9 @@ def _closest_kernel(rays_ref, sup_ref, clu_ref, tri_ref,
          c_base) = st
         k = jnp.argmin(cscore[:, 0])
         cvis = jnp.maximum(cvis, (clu_iota == k).astype(jnp.float32))
-        base = pl.multiple_of((c_base + k) * c_size, c_size)
+        # declare the power-of-two alignment witness: Mosaic's divisibility
+        # reasoning only accepts powers of two (c_size is a 128-multiple)
+        base = pl.multiple_of((c_base + k) * c_size, 128)
         tri = [tri_ref[row, pl.ds(base, c_size)]
                for row in range(N_TRI_PLANES)]
         t, u, v, hit = _mt_block(ocol, dcol, tri, best_t)
@@ -331,7 +333,9 @@ def _any_kernel(rays_ref, sup_ref, clu_ref, tri_ref, occ_ref,
         cscore, cvis, tn_c, hit_c, occ_row, c_base = st
         k = jnp.argmin(cscore[:, 0])
         cvis = jnp.maximum(cvis, (clu_iota == k).astype(jnp.float32))
-        base = pl.multiple_of((c_base + k) * c_size, c_size)
+        # declare the power-of-two alignment witness: Mosaic's divisibility
+        # reasoning only accepts powers of two (c_size is a 128-multiple)
+        base = pl.multiple_of((c_base + k) * c_size, 128)
         tri = [tri_ref[row, pl.ds(base, c_size)]
                for row in range(N_TRI_PLANES)]
         _, _, _, hit = _mt_block(ocol, dcol, tri, maxt_col)
