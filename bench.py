@@ -27,6 +27,9 @@ def main() -> int:
     scene_name = os.environ.get("BENCH_SCENE", "dragon")
     tracer = os.environ.get("BENCH_TRACER", "auto")
 
+    from metal_raytracing_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from metal_raytracing_tpu.renderer import Renderer
     from metal_raytracing_tpu.scenes import get_scene
     from metal_raytracing_tpu.types import RenderConfig

@@ -185,6 +185,9 @@ def cmd_scenes(_args) -> int:
 
 
 def main(argv=None) -> int:
+    from .utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     args = build_parser().parse_args(argv)
     if args.command == "render":
         return cmd_render(args)
