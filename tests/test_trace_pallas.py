@@ -76,3 +76,25 @@ def test_pallas_renderer_image(scene_data):
     ref = Renderer(scene, cfg_ref).render(1)
     got = Renderer(scene, cfg_pal).render(1)
     assert rmse(ref, got) < 1e-6
+
+
+def test_pallas_streamed_matches_resident(scene_data):
+    """HBM-streamed triangle planes (forced) must equal the VMEM path."""
+    data, spec = scene_data
+    o, d = _rays(256, seed=7)
+    mask = jnp.ones((256,), bool)
+    res = TP.trace_closest(o, d, mask, data.sup_planes, data.clu_planes,
+                           data.tri_planes, spec.bvh, block=128,
+                           stream=False)
+    strm = TP.trace_closest(o, d, mask, data.sup_planes, data.clu_planes,
+                            data.tri_planes, spec.bvh, block=128,
+                            stream=True)
+    np.testing.assert_array_equal(np.asarray(strm.tri), np.asarray(res.tri))
+    np.testing.assert_array_equal(np.asarray(strm.t), np.asarray(res.t))
+    max_t = jnp.full((256,), 4.0)
+    res_a = TP.trace_any(o, d, max_t, mask, data.sup_planes, data.clu_planes,
+                         data.tri_planes, spec.bvh, block=128, stream=False)
+    strm_a = TP.trace_any(o, d, max_t, mask, data.sup_planes,
+                          data.clu_planes, data.tri_planes, spec.bvh,
+                          block=128, stream=True)
+    np.testing.assert_array_equal(np.asarray(strm_a), np.asarray(res_a))
