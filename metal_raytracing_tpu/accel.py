@@ -30,7 +30,8 @@ import dataclasses
 
 import numpy as np
 
-__all__ = ["BVHSpec", "morton_codes_3d", "build_cluster_bvh"]
+__all__ = ["BVHSpec", "morton_codes_3d", "build_cluster_bvh",
+           "sah_split_order", "median_split_order"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -108,13 +109,102 @@ def median_split_order(centroids: np.ndarray, cluster_size: int) -> np.ndarray:
     return out
 
 
+def _surface_area(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+    """Half surface area of AABBs; empty (inverted) boxes score 0."""
+    ext = np.maximum(hi - lo, 0.0)
+    return ext[..., 0] * ext[..., 1] + ext[..., 1] * ext[..., 2] + ext[..., 2] * ext[..., 0]
+
+
+def sah_split_order(
+    tri_lo: np.ndarray,
+    tri_hi: np.ndarray,
+    centroids: np.ndarray,
+    cluster_size: int,
+    n_bins: int = 32,
+) -> np.ndarray:
+    """Recursive binned-SAH split with cluster-quantized partition sizes.
+
+    Same output contract as :func:`median_split_order` (a triangle
+    permutation whose consecutive ``cluster_size`` slices are leaves), but
+    each split minimizes the surface-area heuristic over ``n_bins`` centroid
+    bins per axis instead of blindly halving the longest axis.  Split counts
+    snap to the nearest ``cluster_size`` multiple so leaves stay exactly
+    full.  SAH-quality splits directly cut the clusters-visited count that
+    dominates bounce-pass traversal (the reference gets this quality from
+    Metal's closed-source AS build, Renderer.swift:185-191).
+    """
+    t = centroids.shape[0]
+    c = cluster_size
+    out = np.empty(t, np.int64)
+    pos = 0
+    stack = [np.arange(t, dtype=np.int64)]
+    while stack:
+        ids = stack.pop()
+        if len(ids) <= c:
+            out[pos:pos + len(ids)] = ids
+            pos += len(ids)
+            continue
+        pts = centroids[ids]
+        lo = pts.min(axis=0)
+        hi = pts.max(axis=0)
+        ext = hi - lo
+        n_here = len(ids)
+        max_k = ((n_here - 1) // c) * c  # leave >= 1 triangle on the right
+
+        best_cost = np.inf
+        best_axis = -1
+        best_k = 0
+        for axis in range(3):
+            if ext[axis] <= 1e-12:
+                continue
+            rel = np.clip(((pts[:, axis] - lo[axis]) / ext[axis]
+                           * n_bins).astype(np.int64), 0, n_bins - 1)
+            counts = np.bincount(rel, minlength=n_bins)
+            bl = np.full((n_bins, 3), np.inf)
+            bh = np.full((n_bins, 3), -np.inf)
+            np.minimum.at(bl, rel, tri_lo[ids])
+            np.maximum.at(bh, rel, tri_hi[ids])
+            # prefix (left-of-boundary) and suffix sweeps over bins
+            pre_lo = np.minimum.accumulate(bl, axis=0)
+            pre_hi = np.maximum.accumulate(bh, axis=0)
+            suf_lo = np.minimum.accumulate(bl[::-1], axis=0)[::-1]
+            suf_hi = np.maximum.accumulate(bh[::-1], axis=0)[::-1]
+            pre_n = np.cumsum(counts)
+            # boundary b: left = bins [0, b], right = bins [b+1, n_bins)
+            left_cost = _surface_area(pre_lo[:-1], pre_hi[:-1]) * pre_n[:-1]
+            right_cost = (_surface_area(suf_lo[1:], suf_hi[1:])
+                          * (n_here - pre_n[:-1]))
+            # quantize each boundary's left count to whole clusters
+            ks = np.clip(np.rint(pre_n[:-1] / c).astype(np.int64) * c,
+                         c, max(max_k, c))
+            cost = left_cost + right_cost
+            valid = (ks >= c) & (ks <= max_k)
+            if not valid.any():
+                continue
+            cost = np.where(valid, cost, np.inf)
+            b = int(np.argmin(cost))
+            if cost[b] < best_cost:
+                best_cost = cost[b]
+                best_axis = axis
+                best_k = int(ks[b])
+        if best_axis < 0:
+            # degenerate spread: halve on the longest axis
+            best_axis = int(np.argmax(ext))
+            best_k = max((n_here // (2 * c)) * c, c)
+        part = np.argpartition(pts[:, best_axis], best_k)
+        stack.append(ids[part[best_k:]])  # right pushed first -> left first
+        stack.append(ids[part[:best_k]])
+    assert pos == t
+    return out
+
+
 def build_cluster_bvh(
     v0: np.ndarray,
     e1: np.ndarray,
     e2: np.ndarray,
     cluster_size: int = 64,
     branching: int = 8,
-    builder: str = "median",
+    builder: str = "sah",
 ):
     """Build the cluster BVH over world-space triangles (v0, v0+e1, v0+e2).
 
@@ -140,7 +230,10 @@ def build_cluster_bvh(
 
     scene_lo = tri_lo.min(axis=0)
     scene_hi = tri_hi.max(axis=0)
-    if builder == "median":
+    if builder == "sah":
+        order = sah_split_order(tri_lo, tri_hi,
+                                np.ascontiguousarray(centroids), c)
+    elif builder == "median":
         order = median_split_order(np.ascontiguousarray(centroids), c)
     elif builder == "morton":
         codes = morton_codes_3d(centroids, scene_lo, scene_hi)

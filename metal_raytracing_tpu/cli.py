@@ -145,12 +145,15 @@ def cmd_render(args) -> int:
     if args.resume and args.checkpoint:
         import os
 
-        if os.path.exists(args.checkpoint):
+        if os.path.exists(Renderer.checkpoint_path(args.checkpoint)):
             renderer.load(args.checkpoint)
             if not args.quiet:
                 print(f"resumed at sample {renderer.frame_index}",
                       file=sys.stderr)
 
+    # Progress prints fetch the device ray counters (a host sync), so they
+    # are rate-limited to keep the step loop async-dispatched between them.
+    progress_every = max(1, args.spp // 16)
     t0 = time.perf_counter()
     while renderer.frame_index < args.spp:
         renderer.step()
@@ -159,7 +162,8 @@ def cmd_render(args) -> int:
                                tonemap=not args.no_tonemap)
             if args.checkpoint:
                 renderer.save(args.checkpoint)
-        if not args.quiet:
+        if not args.quiet and (renderer.frame_index % progress_every == 0
+                               or renderer.frame_index == args.spp):
             el = time.perf_counter() - t0
             rays = renderer.total_closest_rays + renderer.total_shadow_rays
             print(f"\rsample {renderer.frame_index}/{args.spp}  "

@@ -167,11 +167,21 @@ def _from_native(raw, path: str, compute_normals: bool) -> LoadedModel:
     name = os.path.splitext(os.path.basename(path))[0]
     default_mat = Material(base_color=(1.0, 1.0, 1.0), name="default")
     submeshes: List[SubmeshData] = []
+    mixed_fallback = False  # some faces have vn indices, some don't
+    nvn = raw.normals.shape[0]
     for mat_name, tp, tn, tu in raw.submeshes:
         if tp.shape[0] == 0:
             continue
         if have_normals:
-            tri_nrm = np.where(tn < 0, tp, tn) if (tn < 0).any() else tn
+            if (tn < 0).any():
+                # Fallback indices point at the synthesized per-position
+                # normals appended AFTER the file's vn array (see
+                # _load_obj_python); a plain position index would alias
+                # into vn (IndexError when V > VN, wrong normals otherwise).
+                mixed_fallback = True
+                tri_nrm = np.where(tn < 0, tp + nvn, tn)
+            else:
+                tri_nrm = tn
         else:
             tri_nrm = tp.copy()
         has_uv = have_uv and (tu >= 0).all()
@@ -184,7 +194,8 @@ def _from_native(raw, path: str, compute_normals: bool) -> LoadedModel:
         ))
 
     if have_normals:
-        out_normals = raw.normals
+        out_normals = (np.concatenate([raw.normals, synthesized], axis=0)
+                       if mixed_fallback else raw.normals)
     elif synthesized is not None:
         out_normals = synthesized
     else:
@@ -266,6 +277,7 @@ def _load_obj_python(path: str, compute_normals: bool = True) -> LoadedModel:
     name = os.path.splitext(os.path.basename(path))[0]
     submeshes: List[SubmeshData] = []
     default_mat = Material(base_color=(1.0, 1.0, 1.0), name="default")
+    mixed_fallback = False  # some faces have vn indices, some don't
     for mat_name in order:
         tris = tris_by_mat[mat_name]
         if not tris:
@@ -275,12 +287,16 @@ def _load_obj_python(path: str, compute_normals: bool = True) -> LoadedModel:
         if have_normals:
             tri_nrm = t[:, :, 2].astype(np.int32)
             if (tri_nrm < 0).any():
-                # faces missing normal indices: fall back to position index
-                # against synthesized normals
+                # Faces missing normal indices fall back to synthesized
+                # per-position normals, which are APPENDED after the file's
+                # vn array — so the fallback index is position + len(vn)
+                # (a plain position index would alias into the vn array).
                 if synthesized is None:
                     synthesized = _smooth_vertex_normals(
                         pos, [x for nm in order for x in tris_by_mat[nm]])
-                tri_nrm = np.where(tri_nrm < 0, tri_pos, tri_nrm)
+                mixed_fallback = True
+                tri_nrm = np.where(tri_nrm < 0, tri_pos + nrm.shape[0],
+                                   tri_nrm)
         else:
             tri_nrm = tri_pos.copy()
         tri_uv = t[:, :, 1].astype(np.int32)
@@ -293,8 +309,12 @@ def _load_obj_python(path: str, compute_normals: bool = True) -> LoadedModel:
             tri_uv_idx=tri_uv if has_uv else None,
         ))
 
-    out_normals = nrm if have_normals else (
-        synthesized if synthesized is not None else np.zeros_like(pos))
+    if have_normals:
+        out_normals = (np.concatenate([nrm, synthesized], axis=0)
+                       if mixed_fallback else nrm)
+    else:
+        out_normals = (synthesized if synthesized is not None
+                       else np.zeros_like(pos))
     return LoadedModel(
         name=name, positions=pos, normals=out_normals, texcoords=uv,
         submeshes=submeshes, face_count=face_count,

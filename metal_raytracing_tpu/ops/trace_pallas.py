@@ -230,8 +230,15 @@ def _box_cols(ref_rows):
 
 
 def _closest_kernel(rays_ref, sup_ref, clu_ref, tri_ref,
-                    tuv_ref, tri_out_ref, *scratch_refs,
-                    s_per: int, c_size: int, r: int, tb: int):
+                    tuv_ref, tri_out_ref, *rest,
+                    s_per: int, c_size: int, r: int, tb: int,
+                    count_visits: bool = False):
+  # Optional telemetry output: clusters visited per ray tile (the traversal
+  # cost driver — VERDICT.md round 1 asks for p50/p90 in the bench).
+  if count_visits:
+      vis_ref, *scratch_refs = rest
+  else:
+      vis_ref, scratch_refs = None, list(rest)
   tri_scratch, tri_sem = scratch_refs if scratch_refs else (None, None)
   # Several ray tiles per grid step amortize the ~3.3us fixed grid-step
   # cost (DMA + dispatch) that would otherwise dominate the traversal.
@@ -263,7 +270,7 @@ def _closest_kernel(rays_ref, sup_ref, clu_ref, tri_ref,
 
     def visit_cluster(st):
         (cscore, cvis, tn_c, hit_c, best_t, best_u, best_v, best_tri,
-         c_base) = st
+         c_base, nvis) = st
         k = jnp.argmin(cscore[:, 0])
         cvis = jnp.maximum(cvis, (clu_iota == k).astype(jnp.float32))
         # declare the power-of-two alignment witness: Mosaic's divisibility
@@ -286,13 +293,13 @@ def _closest_kernel(rays_ref, sup_ref, clu_ref, tri_ref,
                 jnp.where(upd, usel, best_u),
                 jnp.where(upd, vsel, best_v),
                 jnp.where(upd, base + idx, best_tri),
-                c_base)
+                c_base, nvis + 1.0)
 
     def cluster_cond(st):
         return jnp.min(st[0]) < BIG_T * 0.5
 
     def visit_super(st):
-        score, svis, best_t, best_u, best_v, best_tri = st
+        score, svis, best_t, best_u, best_v, best_tri, nvis = st
         s = jnp.argmin(score[:, 0])
         svis = jnp.maximum(svis, (sup_iota == s).astype(jnp.float32))
         cp = clu_ref[s]  # (6, S)
@@ -302,11 +309,11 @@ def _closest_kernel(rays_ref, sup_ref, clu_ref, tri_ref,
         cvis0 = jnp.zeros((s_per, 1), jnp.float32)
         inner = (cluster_score(cvis0, tn_c, hit_c, best_t), cvis0, tn_c,
                  hit_c, best_t, best_u, best_v, best_tri,
-                 s * jnp.int32(s_per))
+                 s * jnp.int32(s_per), nvis)
         inner = jax.lax.while_loop(cluster_cond, visit_cluster, inner)
-        _, _, _, _, best_t, best_u, best_v, best_tri, _ = inner
+        _, _, _, _, best_t, best_u, best_v, best_tri, _, nvis = inner
         return (sup_score(svis, best_t.T), svis, best_t, best_u, best_v,
-                best_tri)
+                best_tri, nvis)
 
     def super_cond(st):
         return jnp.min(st[0]) < BIG_T * 0.5
@@ -316,14 +323,17 @@ def _closest_kernel(rays_ref, sup_ref, clu_ref, tri_ref,
     init = (sup_score(svis0, best0.T), svis0, best0,
             jnp.zeros((r, 1), jnp.float32),
             jnp.zeros((r, 1), jnp.float32),
-            jnp.full((r, 1), -1, jnp.int32))
-    _, _, best_t, best_u, best_v, best_tri = jax.lax.while_loop(
+            jnp.full((r, 1), -1, jnp.int32),
+            jnp.zeros((), jnp.float32))
+    _, _, best_t, best_u, best_v, best_tri, nvis = jax.lax.while_loop(
         super_cond, visit_super, init)
 
     tuv_ref[t, 0, :] = best_t[:, 0]
     tuv_ref[t, 1, :] = best_u[:, 0]
     tuv_ref[t, 2, :] = best_v[:, 0]
     tri_out_ref[t, 0, :] = best_tri[:, 0]
+    if count_visits:
+        vis_ref[t, 0, :] = jnp.full((r,), 1.0, jnp.float32) * nvis
     return _carry
 
   jax.lax.fori_loop(0, tb, tile_body, jnp.int32(0))
@@ -425,7 +435,7 @@ def _pallas_trace(kernel, out_shapes, out_specs, rays, sup, clu, tri,
             pl.BlockSpec(memory_space=pltpu.VMEM),  # super planes
             pl.BlockSpec(memory_space=pltpu.VMEM),  # cluster planes
             # triangle planes: VMEM-resident, or HBM-streamed per visit
-            pl.BlockSpec(memory_space=pltpu.ANY if stream else pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY if stream else pltpu.VMEM),
         ],
         out_specs=out_specs,
         scratch_shapes=(
@@ -444,13 +454,28 @@ def _should_stream(tri) -> bool:
     return tri.size * 4 > VMEM_TRI_BUDGET_BYTES
 
 
+def _check_cluster_alignment(spec: BVHSpec) -> None:
+    """The kernels declare ``pl.multiple_of(base, 128)`` on dynamic lane
+    slices; with a cluster size that is not a 128-multiple the witness is
+    FALSE and Mosaic silently fetches the wrong triangles on real TPU
+    (interpret-mode tests cannot catch it).  Reject early instead."""
+    if spec.cluster_size % 128 != 0:
+        raise ValueError(
+            f"pallas tracer requires cluster_size % 128 == 0, got "
+            f"{spec.cluster_size}; build the scene with "
+            f"scene.build(cluster_size=cfg.cluster_size)")
+
+
 def trace_closest(o, d, mask, sup, clu, tri, spec: BVHSpec,
                   block: int = 128, tiles_per_step: int = 8,
-                  stream=None) -> Hit:
+                  stream=None, count_visits: bool = False):
     """Closest-hit query via the hierarchical Pallas tracer.
 
     ``sup``/``clu``/``tri`` are the prepacked planes from
-    :func:`pack_scene_planes` (stored on SceneData at build time)."""
+    :func:`pack_scene_planes` (stored on SceneData at build time).
+    With ``count_visits=True`` returns ``(Hit, (NB,) visits)`` — clusters
+    visited per ray tile, the traversal-cost telemetry the bench reports."""
+    _check_cluster_alignment(spec)
     n = o.shape[0]
     assert n % block == 0, f"ray count {n} not a multiple of block {block}"
     s_per, ns = super_layout(spec)
@@ -464,7 +489,8 @@ def trace_closest(o, d, mask, sup, clu, tri, spec: BVHSpec,
         tri = jnp.pad(tri, ((0, 16 - N_TRI_PLANES), (0, 0)))
 
     kernel = functools.partial(_closest_kernel, s_per=s_per,
-                               c_size=spec.cluster_size, r=block, tb=tb)
+                               c_size=spec.cluster_size, r=block, tb=tb,
+                               count_visits=count_visits)
     out_shapes = (
         jax.ShapeDtypeStruct((nb, 3, block), jnp.float32),
         jax.ShapeDtypeStruct((nb, 1, block), jnp.int32),
@@ -475,20 +501,29 @@ def trace_closest(o, d, mask, sup, clu, tri, spec: BVHSpec,
         pl.BlockSpec((tb, 1, block), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
     )
-    tuv, tri_id = _pallas_trace(kernel, out_shapes, out_specs, rays, sup,
-                                clu, tri, n_steps, tb, block, stream,
-                                spec.cluster_size)
-    return Hit(
+    if count_visits:
+        out_shapes += (jax.ShapeDtypeStruct((nb, 1, block), jnp.float32),)
+        out_specs += (pl.BlockSpec((tb, 1, block), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),)
+    out = _pallas_trace(kernel, out_shapes, out_specs, rays, sup,
+                        clu, tri, n_steps, tb, block, stream,
+                        spec.cluster_size)
+    tuv, tri_id = out[0], out[1]
+    hit = Hit(
         t=tuv[:, 0, :].reshape(n),
         u=tuv[:, 1, :].reshape(n),
         v=tuv[:, 2, :].reshape(n),
         tri=tri_id.reshape(n),
     )
+    if count_visits:
+        return hit, out[2][:, 0, 0]
+    return hit
 
 
 def trace_any(o, d, max_t, mask, sup, clu, tri, spec: BVHSpec,
               block: int = 128, tiles_per_step: int = 8, stream=None):
     """Any-hit occlusion query via the hierarchical Pallas tracer."""
+    _check_cluster_alignment(spec)
     n = o.shape[0]
     assert n % block == 0, f"ray count {n} not a multiple of block {block}"
     s_per, ns = super_layout(spec)

@@ -139,24 +139,24 @@ def render_sample_tile_sharded(
 @functools.partial(
     jax.jit,
     static_argnames=("spec", "cfg", "mesh", "mode"),
-    donate_argnums=(3,),
+    donate_argnums=(3, 4),
 )
 def _sharded_progressive_step(data, offsets, frame_index, accum_img,
-                              *, spec, cfg, mesh, mode):
+                              ray_totals, *, spec, cfg, mesh, mode):
     if mode == "spp":
         sample, stats = render_sample_spp_sharded(
             data, spec, cfg, offsets, frame_index, mesh)
-        n_per_step = mesh.shape[mesh.axis_names[1]]
-        # sample is already the mean of n_per_step consecutive samples
-        fi = frame_index.astype(jnp.float32) * n_per_step
-        new = (accum_img * fi + sample * n_per_step) / (fi + n_per_step)
-        return new, stats
-    sample, stats = render_sample_tile_sharded(
-        data, spec, cfg, offsets, frame_index, mesh)
+    else:
+        sample, stats = render_sample_tile_sharded(
+            data, spec, cfg, offsets, frame_index, mesh)
     n_per_step = mesh.shape[mesh.axis_names[1]]
+    # sample is already the mean of n_per_step consecutive samples
     fi = frame_index.astype(jnp.float32) * n_per_step
     new = (accum_img * fi + sample * n_per_step) / (fi + n_per_step)
-    return new, stats
+    # Device-side ray counters: no per-step host fetch (async dispatch).
+    new_totals = ray_totals + jnp.stack(
+        [stats["closest_rays"], stats["shadow_rays"]]).astype(jnp.float32)
+    return new, new_totals
 
 
 class ShardedRenderer(Renderer):
@@ -176,13 +176,11 @@ class ShardedRenderer(Renderer):
         self.samples_per_step = mesh.shape[mesh.axis_names[1]]
 
     def step(self) -> None:
-        self.accum, stats = _sharded_progressive_step(
+        self.accum, self.ray_totals = _sharded_progressive_step(
             self.data, self.offsets, jnp.int32(self.frame_index),
-            self.accum, spec=self.spec, cfg=self.cfg, mesh=self.mesh,
-            mode=self.mode)
+            self.accum, self.ray_totals, spec=self.spec, cfg=self.cfg,
+            mesh=self.mesh, mode=self.mode)
         self.frame_index += 1
-        self.total_closest_rays += int(stats["closest_rays"])
-        self.total_shadow_rays += int(stats["shadow_rays"])
 
     @property
     def total_samples(self) -> int:

@@ -105,14 +105,14 @@ def _make_tracers(data: SceneData, spec: SceneSpec, cfg: RenderConfig):
         closest = functools.partial(
             trace_pallas.trace_closest, sup=data.sup_planes,
             clu=data.clu_planes, tri=data.tri_planes, spec=spec.bvh,
-            block=cfg.ray_block)
+            block=cfg.ray_block, count_visits=cfg.telemetry)
         any_hit = functools.partial(
             trace_pallas.trace_any, sup=data.sup_planes,
             clu=data.clu_planes, tri=data.tri_planes, spec=spec.bvh,
             block=cfg.ray_block)
     else:
         raise ValueError(f"unknown tracer {cfg.tracer!r}")
-    return closest, any_hit
+    return closest, any_hit, cfg.tracer
 
 
 def pixel_coords(cfg: RenderConfig) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -199,13 +199,14 @@ def render_rays(
                    + cam.forward[None])
     o = jnp.broadcast_to(cam.position[None], (p, 3))
 
-    closest_fn, any_fn = _make_tracers(data, spec, cfg)
+    closest_fn, any_fn, tracer_kind = _make_tracers(data, spec, cfg)
     geom = data.geometry
     mats = data.materials
 
     color = jnp.ones((p, 3))  # path throughput (Raytracing.metal:226)
     accum = jnp.zeros((p, 3))
     alive = mask
+    tele_stats: Dict[str, jnp.ndarray] = {}  # per-bounce visit telemetry
     # ``cur`` maps the current (possibly compacted) ray order back to the
     # original pixel slot; the radiance scatters through it at the end.
     cur = jnp.arange(p, dtype=jnp.int32)
@@ -253,7 +254,12 @@ def render_rays(
             cur = s[15]
 
         closest_count += jnp.sum(alive.astype(jnp.int32))
+        if cfg.telemetry:
+            # per-bounce occupancy: live rays entering this bounce
+            tele_stats[f"live_b{bounce}"] = jnp.sum(alive.astype(jnp.int32))
         hit = closest_fn(o, d, alive)
+        if cfg.telemetry and tracer_kind == "pallas":
+            hit, tele_stats[f"visits_b{bounce}"] = hit
 
         if cfg.env_map and spec.has_env_map:
             escaped = alive & ~hit.found
@@ -302,6 +308,9 @@ def render_rays(
 
         do_shadow = alive & (jnp.linalg.norm(lcolor, axis=-1) > 1e-4)  # :341
         shadow_count += jnp.sum(do_shadow.astype(jnp.int32))
+        if cfg.telemetry:
+            tele_stats[f"shadow_b{bounce}"] = jnp.sum(
+                do_shadow.astype(jnp.int32))
         shadow_o = pos + ns * 1e-3  # :350
         occluded = any_fn(shadow_o, ls.direction, ls.distance - 1e-3,
                           do_shadow)
@@ -353,7 +362,8 @@ def render_rays(
             color = dcolor
         o = pos + ns * 1e-3
 
-    stats = {"closest_rays": closest_count, "shadow_rays": shadow_count}
+    stats = {"closest_rays": closest_count, "shadow_rays": shadow_count,
+             **tele_stats}
     if cfg.compaction and cfg.max_bounces > 1:
         # Restore pixel order by sorting on the carried pixel index —
         # ~18x cheaper than a scatter on TPU.
@@ -398,10 +408,20 @@ def accumulate(prev: jnp.ndarray, sample: jnp.ndarray,
     return (prev * fi + sample) / (fi + 1.0)
 
 
-@functools.partial(jax.jit, static_argnames=("spec", "cfg"), donate_argnums=(3,))
-def _progressive_step(data, offsets, frame_index, accum_img, *, spec, cfg):
+@functools.partial(jax.jit, static_argnames=("spec", "cfg"),
+                   donate_argnums=(3, 4))
+def _progressive_step(data, offsets, frame_index, accum_img, ray_totals, *,
+                      spec, cfg):
     sample, stats = render_sample(data, spec, cfg, offsets, frame_index)
-    return accumulate(accum_img, sample, frame_index), stats
+    # Ray counters fold into a donated device array instead of being
+    # fetched per step: fetching would host-sync every sample and defeat
+    # async dispatch — the analog of the reference's triple buffering
+    # (reference: Renderer.swift:33-34, 285-287).  f32 accumulation: each
+    # per-sample count is an exact small int; the total is a metric, not an
+    # invariant.
+    new_totals = ray_totals + jnp.stack(
+        [stats["closest_rays"], stats["shadow_rays"]]).astype(jnp.float32)
+    return accumulate(accum_img, sample, frame_index), new_totals
 
 
 class Renderer:
@@ -418,21 +438,31 @@ class Renderer:
         self.scene = scene
         self.cfg = cfg
         self.data, self.spec = scene.build(
-            cluster_size=cfg.cluster_size)
+            cluster_size=cfg.cluster_size, builder=cfg.bvh_builder)
         self.offsets = make_pixel_offsets(cfg)
         self.frame_index = 0
         self.accum = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
-        self.total_closest_rays = 0
-        self.total_shadow_rays = 0
+        self.ray_totals = jnp.zeros((2,), jnp.float32)
 
     def step(self) -> None:
-        """Render one sample for every pixel and fold it into the average."""
-        self.accum, stats = _progressive_step(
+        """Render one sample for every pixel and fold it into the average.
+
+        Fully async: nothing here touches host memory, so consecutive
+        ``step()`` calls enqueue without an intervening device fence."""
+        self.accum, self.ray_totals = _progressive_step(
             self.data, self.offsets, jnp.int32(self.frame_index),
-            self.accum, spec=self.spec, cfg=self.cfg)
+            self.accum, self.ray_totals, spec=self.spec, cfg=self.cfg)
         self.frame_index += 1
-        self.total_closest_rays += int(stats["closest_rays"])
-        self.total_shadow_rays += int(stats["shadow_rays"])
+
+    @property
+    def total_closest_rays(self) -> int:
+        """Total closest-hit rays traced (fetches the device counter)."""
+        return int(self.ray_totals[0])
+
+    @property
+    def total_shadow_rays(self) -> int:
+        """Total shadow rays traced (fetches the device counter)."""
+        return int(self.ray_totals[1])
 
     def render(self, spp: Optional[int] = None) -> np.ndarray:
         """Render ``spp`` samples (default cfg.spp); returns (H, W, 3) f32."""
@@ -446,11 +476,25 @@ class Renderer:
         return np.asarray(jax.device_get(self.accum))
 
     # -- checkpoint / resume (SURVEY.md §5) --------------------------------
+    def fingerprint(self) -> str:
+        """Scene+config identity baked into checkpoints: resuming a
+        checkpoint from a different scene or incompatible config would
+        silently corrupt a long render.  Tracer choice is deliberately
+        excluded (tracers are pixel-parity interchangeable)."""
+        s = (f"{self.spec.bvh}|L{self.spec.light_count}"
+             f"|M{self.spec.material_count}|E{int(self.spec.has_env_map)}"
+             f"|{self.cfg.width}x{self.cfg.height}|b{self.cfg.max_bounces}"
+             f"|seed{self.cfg.seed}")
+        import hashlib
+
+        return hashlib.sha1(s.encode()).hexdigest()[:16]
+
     def state_dict(self) -> dict:
         return {
             "accum": np.asarray(self.accum),
             "frame_index": self.frame_index,
             "seed": self.cfg.seed,
+            "fingerprint": self.fingerprint(),
             "total_closest_rays": self.total_closest_rays,
             "total_shadow_rays": self.total_shadow_rays,
         }
@@ -458,14 +502,29 @@ class Renderer:
     def load_state(self, state: dict) -> None:
         if int(state["seed"]) != self.cfg.seed:
             raise ValueError("checkpoint seed does not match config seed")
+        if "fingerprint" in state:
+            got = str(np.asarray(state["fingerprint"]).item()
+                      if hasattr(state["fingerprint"], "item")
+                      else state["fingerprint"])
+            if got != self.fingerprint():
+                raise ValueError(
+                    "checkpoint scene/config fingerprint does not match: "
+                    f"checkpoint {got}, this renderer {self.fingerprint()}")
         self.accum = jnp.asarray(state["accum"], jnp.float32)
         self.frame_index = int(state["frame_index"])
-        self.total_closest_rays = int(state.get("total_closest_rays", 0))
-        self.total_shadow_rays = int(state.get("total_shadow_rays", 0))
+        self.ray_totals = jnp.asarray(
+            [float(state.get("total_closest_rays", 0)),
+             float(state.get("total_shadow_rays", 0))], jnp.float32)
+
+    @staticmethod
+    def checkpoint_path(path: str) -> str:
+        """``np.savez`` appends ``.npz`` when absent; normalize in BOTH
+        save and load so ``--checkpoint ckpt`` round-trips."""
+        return path if path.endswith(".npz") else path + ".npz"
 
     def save(self, path: str) -> None:
-        np.savez(path, **self.state_dict())
+        np.savez(self.checkpoint_path(path), **self.state_dict())
 
     def load(self, path: str) -> None:
-        with np.load(path) as f:
+        with np.load(self.checkpoint_path(path)) as f:
             self.load_state({k: f[k] for k in f.files})

@@ -114,22 +114,28 @@ def flatten_instances(
            np.ndarray, np.ndarray, List[Material]]:
     """Pre-transform and concatenate all instances into world-space arrays.
 
-    Returns (v0, e1, e2, n0, n1, n2, material_id, materials).  Materials are
-    deduplicated per (instance, submesh) the way the reference keeps one
-    material buffer per submesh (reference: SubMesh.swift:30).
+    Returns (v0, e1, e2, n0, n1, n2, material_id, materials).  Identical
+    materials are deduplicated across instances and submeshes (the
+    7-instance dragon scene would otherwise carry duplicate plane/sphere
+    materials); the reference keeps one buffer per submesh instead
+    (reference: SubMesh.swift:30) because its table stores pointers.
     """
     v0s, e1s, e2s = [], [], []
     n0s, n1s, n2s = [], [], []
     mids = []
     materials: List[Material] = []
+    mat_index: dict = {}  # Material (frozen/hashable) -> table id
 
     for inst in instances:
         m = inst.transform
         world_pos = math_utils.transform_points(m, inst.model.positions)
         world_nrm = math_utils.transform_directions(m, inst.model.normals)
         for sub in inst.model.submeshes:
-            mat_id = len(materials)
-            materials.append(sub.material)
+            mat_id = mat_index.get(sub.material)
+            if mat_id is None:
+                mat_id = len(materials)
+                materials.append(sub.material)
+                mat_index[sub.material] = mat_id
             tp = sub.tri_pos_idx
             tn = sub.tri_norm_idx
             v0 = world_pos[tp[:, 0]]
@@ -213,10 +219,11 @@ def build_scene_data(
     instances: Sequence[Instance],
     lights: Sequence[Light],
     camera: Camera,
-    cluster_size: int = 64,
+    cluster_size: int = 384,
     branching: int = 8,
     env_map: Optional[np.ndarray] = None,
     max_edge_frac: float = 0.0,
+    builder: str = "sah",
 ) -> Tuple[SceneData, SceneSpec]:
     """Flatten, Morton-sort, cluster, and upload a scene.
 
@@ -228,7 +235,8 @@ def build_scene_data(
         v0, e1, e2, n0, n1, n2, mid = subdivide_oversized(
             v0, e1, e2, n0, n1, n2, mid, max_edge_frac=max_edge_frac)
     order, node_lo, node_hi, bvh_spec = accel.build_cluster_bvh(
-        v0, e1, e2, cluster_size=cluster_size, branching=branching)
+        v0, e1, e2, cluster_size=cluster_size, branching=branching,
+        builder=builder)
 
     # Apply the Morton permutation; padding slots (-1) become degenerate
     # triangles (e1 = e2 = 0 => zero determinant => never hit).
@@ -334,8 +342,9 @@ class Scene:
     def triangle_count(self) -> int:
         return sum(i.model.triangle_count for i in self.instances)
 
-    def build(self, cluster_size: int = 64, branching: int = 8):
+    def build(self, cluster_size: int = 384, branching: int = 8,
+              builder: str = "sah"):
         return build_scene_data(
             self.instances, self.lights, self.camera(),
             cluster_size=cluster_size, branching=branching,
-            env_map=self.env_map)
+            env_map=self.env_map, builder=builder)

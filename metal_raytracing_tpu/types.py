@@ -229,6 +229,9 @@ class RenderConfig:
     # (aligned lane slices); 384 measured best on the dragon scene (bigger
     # leaves amortize the per-visit extract-min machinery).
     cluster_size: int = 384
+    # Leaf clustering strategy: "sah" (binned surface-area heuristic,
+    # fewest clusters visited) | "median" | "morton"
+    bvh_builder: str = "sah"
     ray_block: int = 128  # rays per traversal block
     # Wavefront compaction: permute rays so live rays pack into full
     # traversal blocks between bounces (the realized version of the
@@ -243,6 +246,10 @@ class RenderConfig:
     enable_specular: bool = False
     enable_emission: bool = False
     env_map: bool = False
+    # Traversal telemetry: adds per-bounce clusters-visited arrays to the
+    # render stats (pallas tracer only; compiles a separate instrumented
+    # kernel — leave off on the hot path).
+    telemetry: bool = False
 
     @property
     def num_pixels(self) -> int:

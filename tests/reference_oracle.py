@@ -1,0 +1,266 @@
+"""Standalone CPU reference path tracer — the INDEPENDENT pixel-parity oracle.
+
+Re-derives the semantics of the reference megakernel
+(reference: MetalRaytracing/Raytracing.metal:156-405) directly from the Metal
+source, in plain numpy, sharing NO code with metal_raytracing_tpu: callers
+hand it raw numpy arrays (triangles, lights, camera basis, per-pixel Halton
+offsets).  A transposed light formula, a mis-scheduled Halton dimension, or a
+barycentric-weight swap anywhere in the package therefore FAILS the RMSE gate
+in test_reference_oracle.py instead of cancelling out (VERDICT.md round 1,
+missing #3).
+
+Style is deliberately scalar-clear: a loop over small ray batches, masked
+lanes instead of compaction, dense Moller-Trumbore over ALL triangles (no
+BVH), float64 shading math.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# First 100 primes — the Halton bases (reference: Raytracing.metal:27-33).
+_PRIMES = []
+_n = 2
+while len(_PRIMES) < 100:
+    if all(_n % p for p in _PRIMES):
+        _PRIMES.append(_n)
+    _n += 1
+
+# Light type tags (reference: ShaderTypes.h:67-74).
+LIGHT_SUN, LIGHT_SPOT, LIGHT_POINT, LIGHT_AREA = 1, 2, 3, 4
+
+
+def halton(i: int, d: int) -> float:
+    """Radical inverse of index ``i`` in base primes[d]
+    (reference: Raytracing.metal:41-56)."""
+    b = _PRIMES[d]
+    f = 1.0
+    r = 0.0
+    i = int(i)
+    while i > 0:
+        f = f / b
+        r = r + f * (i % b)
+        i = i // b
+    return r
+
+
+def _halton_vec(idx: np.ndarray, d: int) -> np.ndarray:
+    return np.array([halton(i, d) for i in idx], np.float64)
+
+
+def _normalize(v: np.ndarray) -> np.ndarray:
+    return v / np.maximum(np.linalg.norm(v, axis=-1, keepdims=True), 1e-300)
+
+
+def _saturate(x):
+    return np.clip(x, 0.0, 1.0)
+
+
+class _Tracer:
+    """Dense Moller-Trumbore over every triangle (the oracle has no BVH)."""
+
+    def __init__(self, v0, e1, e2):
+        self.v0 = np.asarray(v0, np.float64)
+        self.e1 = np.asarray(e1, np.float64)
+        self.e2 = np.asarray(e2, np.float64)
+
+    def _uvt(self, o, d):
+        """(B, T) barycentrics + distances for a ray batch (B, 3)."""
+        v0, e1, e2 = self.v0, self.e1, self.e2
+        pvec = np.cross(d[:, None, :], e2[None, :, :])
+        det = np.einsum("tj,btj->bt", e1, pvec)
+        safe = np.where(np.abs(det) < 1e-300, 1.0, det)
+        inv = 1.0 / safe
+        tvec = o[:, None, :] - v0[None, :, :]
+        u = np.einsum("btj,btj->bt", tvec, pvec) * inv
+        qvec = np.cross(tvec, e1[None, :, :])
+        v = np.einsum("bj,btj->bt", d, qvec) * inv
+        t = np.einsum("tj,btj->bt", e2, qvec) * inv
+        ok = ((np.abs(det) > 1e-300) & (u >= 0.0) & (v >= 0.0)
+              & (u + v <= 1.0) & (t > 0.0))
+        return u, v, t, ok
+
+    def closest(self, o, d):
+        """Returns (hit?, tri index, t, u, v) per ray."""
+        u, v, t, ok = self._uvt(o, d)
+        t = np.where(ok, t, np.inf)
+        tri = np.argmin(t, axis=1)
+        rows = np.arange(o.shape[0])
+        tmin = t[rows, tri]
+        hit = np.isfinite(tmin)
+        return hit, tri, tmin, u[rows, tri], v[rows, tri]
+
+    def occluded(self, o, d, max_t):
+        _, _, t, ok = self._uvt(o, d)
+        return np.any(ok & (t <= max_t[:, None]), axis=1)
+
+
+def _sample_light(light: dict, r: np.ndarray, position: np.ndarray):
+    """One light's (direction, color, distance) for a batch of shading
+    points, by type (reference: Raytracing.metal:94-128, 281-327)."""
+    kind = int(light["type"])
+    if kind == LIGHT_AREA:
+        u = r * 2.0 - 1.0  # map to -1..1
+        sample = (np.asarray(light["position"], np.float64)
+                  + np.asarray(light["right"], np.float64) * u[:, 0:1]
+                  + np.asarray(light["up"], np.float64) * u[:, 1:2])
+        to_light = sample - position
+        dist = np.linalg.norm(to_light, axis=1)
+        inv = 1.0 / np.maximum(dist, 1e-3)
+        direction = to_light * inv[:, None]
+        color = (np.asarray(light["color"], np.float64)
+                 * (inv * inv)[:, None]
+                 * _saturate(np.sum(
+                     -direction * np.asarray(light["forward"], np.float64),
+                     axis=1))[:, None])
+        return direction, color, dist
+    if kind in (LIGHT_SPOT, LIGHT_POINT):
+        to_light = np.asarray(light["position"], np.float64) - position
+        dist = np.linalg.norm(to_light, axis=1)
+        inv = 1.0 / np.maximum(dist, 1e-3)
+        direction = to_light * inv[:, None]
+        color = np.asarray(light["color"], np.float64) * (inv * inv)[:, None]
+        if kind == LIGHT_SPOT:
+            cone_dir = np.asarray(light["direction"], np.float64)
+            cone_dir = cone_dir / np.linalg.norm(cone_dir)
+            cos_spot = np.sum(-direction * cone_dir, axis=1)
+            inside = cos_spot > np.cos(float(light["cone_angle"]))
+            color = np.where(inside[:, None], color, 0.0)
+        return direction, color, dist
+    # sun: flat color from a fixed direction, infinitely far
+    sun_dir = -np.asarray(light["direction"], np.float64)
+    sun_dir = sun_dir / np.linalg.norm(sun_dir)
+    b = position.shape[0]
+    return (np.broadcast_to(sun_dir, (b, 3)).copy(),
+            np.broadcast_to(
+                np.asarray(light["color"], np.float64), (b, 3)).copy(),
+            np.full(b, np.inf))
+
+
+def _cosine_hemisphere(r: np.ndarray) -> np.ndarray:
+    """(B, 3) cosine-weighted samples about +Y
+    (reference: Raytracing.metal:78-88)."""
+    phi = 2.0 * np.pi * r[:, 0]
+    cos_t = np.sqrt(r[:, 1])
+    sin_t = np.sqrt(1.0 - cos_t * cos_t)
+    return np.stack([sin_t * np.cos(phi), cos_t, sin_t * np.sin(phi)], axis=1)
+
+
+def _align_with_normal(sample: np.ndarray, normal: np.ndarray) -> np.ndarray:
+    """Rotate +Y-hemisphere samples onto the surface normal via the fixed
+    tangent seed (0.0072, 1, 0.0034) (reference: Raytracing.metal:132-147)."""
+    up = normal
+    right = _normalize(np.cross(normal, np.array([0.0072, 1.0, 0.0034])))
+    forward = np.cross(right, up)
+    return (sample[:, 0:1] * right + sample[:, 1:2] * up
+            + sample[:, 2:3] * forward)
+
+
+def render_reference(
+    tris: dict,
+    lights: list,
+    camera: dict,
+    width: int,
+    height: int,
+    offsets: np.ndarray,  # (H*W,) int per-pixel Halton index offsets
+    frame_index: int = 0,
+    bounces: int = 3,
+    batch: int = 64,
+) -> np.ndarray:
+    """Render one sample; returns (H, W, 3) float radiance.
+
+    ``tris``: {v0, e1, e2, n0, n1, n2, kd} — (T, 3) arrays, kd per triangle
+    (degenerate padding triangles with e1 = e2 = 0 never hit).
+    ``lights``: list of dicts with type/position/color/forward/right/up/
+    cone_angle/direction.  ``camera``: {position, right, up, forward} with
+    right/up pre-scaled by the image-plane half extents
+    (reference: Scene.swift:40-57).
+    """
+    tracer = _Tracer(tris["v0"], tris["e1"], tris["e2"])
+    n0 = np.asarray(tris["n0"], np.float64)
+    n1 = np.asarray(tris["n1"], np.float64)
+    n2 = np.asarray(tris["n2"], np.float64)
+    kd = np.asarray(tris["kd"], np.float64)
+    cam_p = np.asarray(camera["position"], np.float64)
+    cam_r = np.asarray(camera["right"], np.float64)
+    cam_u = np.asarray(camera["up"], np.float64)
+    cam_f = np.asarray(camera["forward"], np.float64)
+    n_lights = len(lights)
+
+    out = np.zeros((height * width, 3))
+    px = np.tile(np.arange(width, dtype=np.float64), height)
+    py = np.repeat(np.arange(height, dtype=np.float64), width)
+    idx_all = np.asarray(offsets, np.int64) + int(frame_index)
+
+    for s in range(0, height * width, batch):
+        sl = slice(s, min(s + batch, height * width))
+        idx = idx_all[sl]
+        b = idx.shape[0]
+
+        # Camera ray with Halton pixel jitter, dims 0/1
+        # (reference: Raytracing.metal:202-218).
+        jx = _halton_vec(idx, 0)
+        jy = _halton_vec(idx, 1)
+        uvx = (px[sl] + jx) / width * 2.0 - 1.0
+        uvy = (py[sl] + jy) / height * 2.0 - 1.0
+        d = _normalize(uvx[:, None] * cam_r + uvy[:, None] * cam_u + cam_f)
+        o = np.broadcast_to(cam_p, (b, 3)).copy()
+
+        color = np.ones((b, 3))
+        accum = np.zeros((b, 3))
+        alive = np.ones(b, bool)
+
+        for bounce in range(bounces):
+            hit, tri, t, u, v = tracer.closest(o, d)
+            # break-on-miss (reference: Raytracing.metal:246-247)
+            alive = alive & hit
+            if not alive.any():
+                break
+            pos = o + d * np.where(alive, t, 0.0)[:, None]
+
+            # Barycentric normal interpolation, weights (1-u-v, u, v) on
+            # corners (0, 1, 2) (reference: Raytracing.metal:60-73, 266-268).
+            w = (1.0 - u - v)[:, None]
+            normal = _normalize(w * n0[tri] + u[:, None] * n1[tri]
+                                + v[:, None] * n2[tri])
+            surface = kd[tri]
+
+            # Pick one light uniformly, Halton dim 2+5b+0
+            # (reference: Raytracing.metal:272-275).
+            ls = _halton_vec(idx, 2 + bounce * 5 + 0)
+            li = np.minimum((ls * n_lights).astype(np.int64), n_lights - 1)
+            r12 = np.stack([_halton_vec(idx, 2 + bounce * 5 + 1),
+                            _halton_vec(idx, 2 + bounce * 5 + 2)], axis=1)
+            ldir = np.zeros((b, 3))
+            lcol = np.zeros((b, 3))
+            ldist = np.zeros(b)
+            for k, light in enumerate(lights):
+                sel = li == k
+                if sel.any():
+                    dk, ck, distk = _sample_light(light, r12[sel], pos[sel])
+                    ldir[sel], lcol[sel], ldist[sel] = dk, ck, distk
+
+            # N.L saturate + lightCount compensation (reference: :331-335).
+            lcol = (lcol * _saturate(np.sum(normal * ldir, axis=1))[:, None]
+                    * n_lights)
+            # Throughput absorbs the surface color (reference: :339).
+            color = np.where(alive[:, None], color * surface, color)
+
+            # Shadow ray when the light contribution matters (:341-374).
+            do_shadow = alive & (np.linalg.norm(lcol, axis=1) > 1e-4)
+            if do_shadow.any():
+                so = pos[do_shadow] + normal[do_shadow] * 1e-3
+                occ = tracer.occluded(so, ldir[do_shadow],
+                                      ldist[do_shadow] - 1e-3)
+                vis = np.where(do_shadow)[0][~occ]
+                accum[vis] += lcol[vis] * color[vis]
+
+            # Cosine-weighted bounce, dims 2+5b+{3,4} (reference: :384-391).
+            r34 = np.stack([_halton_vec(idx, 2 + bounce * 5 + 3),
+                            _halton_vec(idx, 2 + bounce * 5 + 4)], axis=1)
+            bounce_dir = _align_with_normal(_cosine_hemisphere(r34), normal)
+            d = np.where(alive[:, None], bounce_dir, d)
+            o = np.where(alive[:, None], pos + normal * 1e-3, o)
+
+        out[sl] = accum
+    return out.reshape(height, width, 3)

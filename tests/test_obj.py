@@ -91,6 +91,29 @@ def test_mtl_parsing(tmp_path):
     assert mat.dissolve == 0.9
 
 
+def test_mixed_normal_indices(tmp_path):
+    """Faces mixing 'i//k' and bare 'i' forms, with MORE positions than vn
+    records: the fallback must index synthesized normals appended after the
+    vn array, not alias position indices into it (ADVICE.md round 1)."""
+    p = tmp_path / "mixed.obj"
+    p.write_text(
+        "v 0 0 0\nv 1 0 0\nv 0 1 0\nv 2 0 0\nv 2 1 0\nv 3 0 0\n"
+        "vn 0 0 1\n"  # 6 positions > 1 vn: old bug -> IndexError/garbage
+        "f 1//1 2//1 3//1\n"  # uses the file normal
+        "f 4 6 5\n")  # no normal indices -> synthesized fallback
+    m = load_obj(str(p))
+    assert m.triangle_count == 2
+    subs = m.submeshes[0]
+    # face 1 keeps the explicit vn index
+    np.testing.assert_array_equal(subs.tri_norm_idx[0], [0, 0, 0])
+    # face 2 falls back to synthesized normals stored after the 1 vn entry
+    assert (subs.tri_norm_idx[1] >= 1).all()
+    assert subs.tri_norm_idx.max() < m.normals.shape[0]
+    n = m.normals[subs.tri_norm_idx[1]]
+    # face (4, 6, 5) = ((2,0,0),(3,0,0),(2,1,0)) is CCW in the XY plane
+    np.testing.assert_allclose(n, [[0, 0, 1]] * 3, atol=1e-6)
+
+
 @pytest.mark.parametrize("name", procedural.available())
 def test_procedural_models_well_formed(name):
     m = procedural.make_model(name)

@@ -81,6 +81,46 @@ def test_checkpoint_resume(tmp_path, small_scene):
     assert rmse(r1.image, r2.image) < 1e-7
 
 
+def test_checkpoint_path_without_npz_extension(tmp_path, small_scene):
+    # np.savez appends '.npz' when missing; save/load must both normalize
+    # so `--checkpoint ckpt` round-trips (ADVICE.md round 1).
+    cfg = _cfg(tracer="bvh")
+    r1 = Renderer(small_scene, cfg)
+    r1.render(1)
+    path = str(tmp_path / "ckpt")  # no extension
+    r1.save(path)
+    r2 = Renderer(small_scene, cfg)
+    r2.load(path)
+    assert r2.frame_index == 1
+    assert rmse(r1.image, r2.image) < 1e-7
+
+
+def test_checkpoint_rejects_different_scene(tmp_path, small_scene):
+    from metal_raytracing_tpu.scenes import teapot_scene
+
+    cfg = _cfg(tracer="bvh")
+    r1 = Renderer(small_scene, cfg)
+    r1.render(1)
+    path = str(tmp_path / "ckpt.npz")
+    r1.save(path)
+
+    other = Renderer(teapot_scene(48, 48), cfg)
+    with pytest.raises(ValueError, match="fingerprint"):
+        other.load(path)
+
+
+def test_checkpoint_rejects_different_bounces(tmp_path, small_scene):
+    cfg = _cfg(tracer="bvh")
+    r1 = Renderer(small_scene, cfg)
+    r1.render(1)
+    path = str(tmp_path / "ckpt.npz")
+    r1.save(path)
+
+    other = Renderer(small_scene, _cfg(tracer="bvh", max_bounces=3))
+    with pytest.raises(ValueError, match="fingerprint"):
+        other.load(path)
+
+
 def test_seed_changes_offsets():
     c0 = _cfg(seed=0)
     c1 = _cfg(seed=1)
@@ -118,6 +158,20 @@ def test_specular_extension_runs(small_scene):
                        enable_emission=True)
     img = Renderer(scene, cfg).render(1)
     assert np.isfinite(img).all() and img.max() > 0.0
+
+
+def test_materials_deduplicated_across_instances():
+    from metal_raytracing_tpu.io import procedural
+    from metal_raytracing_tpu.scene import Scene, flatten_instances
+
+    scene = Scene(32, 32)
+    model = procedural.make_model("sphere")
+    scene.add_instance(model, position=(0, 0, 0))
+    scene.add_instance(model, position=(2, 0, 0))  # same materials
+    *_, mids, materials = flatten_instances(scene.instances)
+    n_unique = len({s.material for s in model.submeshes})
+    assert len(materials) == n_unique  # not 2x
+    assert mids.max() == len(materials) - 1
 
 
 def test_compaction_matches_uncompacted(small_scene):

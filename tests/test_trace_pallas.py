@@ -13,7 +13,7 @@ from metal_raytracing_tpu.scenes import plane_sphere_scene
 @pytest.fixture(scope="module")
 def scene_data():
     scene = plane_sphere_scene(32, 32)
-    return scene.build(cluster_size=64)
+    return scene.build(cluster_size=128)
 
 
 def _rays(n, seed=1):
@@ -60,6 +60,22 @@ def test_pallas_masked_rays(scene_data):
     got = TP.trace_closest(o, d, mask, data.sup_planes, data.clu_planes,
                            data.tri_planes, spec.bvh, block=128)
     assert (np.asarray(got.tri) == -1).all()
+
+
+def test_pallas_rejects_unaligned_cluster_size():
+    """cluster_size must be a 128-multiple: the kernels declare
+    pl.multiple_of(base, 128) alignment witnesses, which would be silently
+    FALSE on real TPU otherwise (ADVICE.md round 1, high)."""
+    scene = plane_sphere_scene(32, 32)
+    data, spec = scene.build(cluster_size=64)
+    o, d = _rays(128)
+    mask = jnp.ones((128,), bool)
+    with pytest.raises(ValueError, match="128"):
+        TP.trace_closest(o, d, mask, data.sup_planes, data.clu_planes,
+                         data.tri_planes, spec.bvh, block=128)
+    with pytest.raises(ValueError, match="128"):
+        TP.trace_any(o, d, jnp.full((128,), 4.0), mask, data.sup_planes,
+                     data.clu_planes, data.tri_planes, spec.bvh, block=128)
 
 
 def test_pallas_renderer_image(scene_data):
