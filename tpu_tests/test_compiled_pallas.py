@@ -1,0 +1,74 @@
+"""Compiled-Mosaic tracer tests on the real chip: oracle equality across
+cluster sizes and streamed/resident triangle planes.
+
+Interpret-mode CI (tests/test_trace_pallas.py) cannot catch Mosaic-only
+failures — alignment witnesses and i1 vector restrictions both bit round 1.
+This subset compiles trace_closest/trace_any for cluster sizes {128, 384,
+512}, VMEM-resident and HBM-streamed, and asserts equality with the
+brute-force oracle (SURVEY.md §4 item 3; VERDICT.md round 1 next-step 5).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from metal_raytracing_tpu.ops import trace as T
+from metal_raytracing_tpu.ops import trace_pallas as TP
+from metal_raytracing_tpu.scenes import plane_sphere_scene
+
+
+def _rays(n, seed):
+    rng = np.random.RandomState(seed)
+    o = rng.uniform(-3, 3, size=(n, 3)).astype(np.float32)
+    o[:, 1] = np.abs(o[:, 1])
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return jnp.asarray(o), jnp.asarray(d)
+
+
+@pytest.fixture(scope="module", params=[128, 384, 512])
+def built(request):
+    scene = plane_sphere_scene(32, 32)
+    data, spec = scene.build(cluster_size=request.param)
+    return data, spec
+
+
+@pytest.mark.parametrize("stream", [False, True])
+def test_closest_matches_oracle_compiled(built, stream):
+    data, spec = built
+    o, d = _rays(256, seed=11)
+    mask = jnp.ones((256,), bool)
+    ref = T.trace_closest_bruteforce(o, d, mask, data.geometry)
+    got = TP.trace_closest(o, d, mask, data.sup_planes, data.clu_planes,
+                           data.tri_planes, spec.bvh, block=128,
+                           stream=stream)
+    hits = np.asarray(ref.tri >= 0)
+    np.testing.assert_array_equal(np.asarray(got.tri >= 0), hits)
+    np.testing.assert_array_equal(np.asarray(got.tri)[hits],
+                                  np.asarray(ref.tri)[hits])
+    np.testing.assert_allclose(np.asarray(got.t)[hits],
+                               np.asarray(ref.t)[hits], rtol=1e-4)
+
+
+@pytest.mark.parametrize("stream", [False, True])
+def test_any_matches_oracle_compiled(built, stream):
+    data, spec = built
+    o, d = _rays(256, seed=13)
+    mask = jnp.ones((256,), bool)
+    max_t = jnp.full((256,), 4.0)
+    ref = T.trace_any_bruteforce(o, d, max_t, mask, data.geometry)
+    got = TP.trace_any(o, d, max_t, mask, data.sup_planes, data.clu_planes,
+                       data.tri_planes, spec.bvh, block=128, stream=stream)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_count_visits_compiled(built):
+    data, spec = built
+    o, d = _rays(128, seed=17)
+    mask = jnp.ones((128,), bool)
+    _, vis = TP.trace_closest(o, d, mask, data.sup_planes, data.clu_planes,
+                              data.tri_planes, spec.bvh, block=128,
+                              count_visits=True)
+    v = np.asarray(vis)
+    assert v.shape == (1,)
+    assert 0 < v[0] <= spec.bvh.num_clusters
