@@ -28,6 +28,7 @@ def main() -> int:
     ap.add_argument("--clusters", default="384,256,128")
     ap.add_argument("--telemetry", action="store_true")
     ap.add_argument("--tracer", default="pallas")
+    ap.add_argument("--sort-keys", default="dir_major")
     args = ap.parse_args()
 
     from metal_raytracing_tpu.utils.cache import enable_compilation_cache
@@ -45,13 +46,17 @@ def main() -> int:
     from metal_raytracing_tpu.types import RenderConfig
     from metal_raytracing_tpu.utils.metrics import benchmark_renderer
 
-    for builder in args.builders.split(","):
-        for csize in (int(c) for c in args.clusters.split(",")):
+    import itertools
+
+    for builder, csize, skey in itertools.product(
+            args.builders.split(","),
+            (int(c) for c in args.clusters.split(",")),
+            args.sort_keys.split(",")):
             scene = get_scene(args.scene, args.size, args.size)
             cfg = RenderConfig(width=args.size, height=args.size,
                                max_bounces=3, tracer=args.tracer,
                                ray_block=128, cluster_size=csize,
-                               bvh_builder=builder)
+                               bvh_builder=builder, sort_key=skey)
             t0 = time.perf_counter()
             r = Renderer(scene, cfg)
             build_s = time.perf_counter() - t0
@@ -59,6 +64,7 @@ def main() -> int:
             row = {
                 "builder": builder,
                 "cluster_size": csize,
+                "sort_key": skey,
                 "ms_per_sample": round(res.per_sample_seconds * 1e3, 1),
                 "mrays_per_sec": round(res.mrays_per_sec, 3),
                 "build_s": round(build_s, 2),

@@ -39,6 +39,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -48,7 +49,7 @@ from .trace import Hit
 
 __all__ = ["trace_closest", "trace_any", "pack_scene_planes", "super_layout"]
 
-NSP = 128  # padded super count: one (NSP, 1) column vector per block
+NSP = 128  # maximum super count (the level-0 fan-out bound)
 
 
 def pack_triangle_planes(geometry) -> jnp.ndarray:
@@ -87,7 +88,7 @@ def _super_size(nc: int) -> int:
 def pack_scene_planes(geometry, node_lo, node_hi, spec: BVHSpec):
     """One-time scene repack into kernel layouts (done at scene build):
     cluster AABB planes grouped by super + super AABB planes + tri planes.
-    Returns (sup (6, NSP), clu (NS, 6, S), tri (9, T))."""
+    Returns (sup (6, nsp <= NSP), clu (NS, 6, S), tri (12, T))."""
     nc = spec.num_clusters
     leaf0 = spec.first_leaf
     s = _super_size(nc)
@@ -102,9 +103,15 @@ def pack_scene_planes(geometry, node_lo, node_hi, spec: BVHSpec):
 
     sup_lo = jnp.min(cl_lo.reshape(ns, s, 3), axis=1)
     sup_hi = jnp.max(cl_hi.reshape(ns, s, 3), axis=1)
-    sup_lo = jnp.pad(sup_lo, ((0, NSP - ns), (0, 0)), constant_values=BIG_T)
-    sup_hi = jnp.pad(sup_hi, ((0, NSP - ns), (0, 0)), constant_values=-BIG_T)
-    # (6, NSP): rows = lox loy loz hix hiy hiz
+    # Pad the super list only to the next sublane multiple (8), not to the
+    # full 128: every ray block slab-tests ALL supers every tile, so a
+    # 38-super scene padded to 128 would pay 3.4x the slab work and carry
+    # 3.4x the score-column state.  The kernels size their iotas/state from
+    # the packed array's shape.
+    nsp = max(8, -(-ns // 8) * 8)
+    sup_lo = jnp.pad(sup_lo, ((0, nsp - ns), (0, 0)), constant_values=BIG_T)
+    sup_hi = jnp.pad(sup_hi, ((0, nsp - ns), (0, 0)), constant_values=-BIG_T)
+    # (6, nsp): rows = lox loy loz hix hiy hiz
     sup = jnp.concatenate([sup_lo.T, sup_hi.T], axis=0)
     # (NS, 6, S): per-super cluster planes
     clu = jnp.concatenate(
@@ -121,15 +128,20 @@ def super_layout(spec: BVHSpec):
 
 
 def _pack_rays(o, d, mask, t_max, block):
+    """Ray components as separate (NB, R) arrays — pure reshapes.
+
+    A single stacked (NB, 8, R) layout would need an (8, NB, R) ->
+    (NB, 8, R) transpose that XLA executes at ~2 GB/s (measured 17 ms per
+    1M rays, paid on every one of the 6 trace calls per sample); component
+    arrays cost only contiguous reshapes + column slices that fuse into
+    their producers.  ``t_max`` is None for closest-hit queries."""
     n = o.shape[0]
     nb = n // block
-    rays = jnp.stack([
-        o[:, 0], o[:, 1], o[:, 2],
-        d[:, 0], d[:, 1], d[:, 2],
-        mask.astype(jnp.float32),
-        t_max.astype(jnp.float32),
-    ], axis=0).reshape(8, nb, block).transpose(1, 0, 2)  # (NB, 8, R)
-    return rays, nb
+    comps = [o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
+             mask.astype(jnp.float32)]
+    if t_max is not None:
+        comps.append(t_max.astype(jnp.float32))
+    return [c.reshape(nb, block) for c in comps], nb
 
 
 def _safe_inv_row(v, eps=1e-12):
@@ -165,28 +177,69 @@ N_TRI_PLANES = 12
 VMEM_TRI_BUDGET_BYTES = 6 * 1024 * 1024
 
 
-def _fetch_tri(tri_ref, base, c_size, scratch, sem):
-    """Rows of the visited cluster's triangle planes.
+# Dense-intersection chunk width.  The (R, C) temporaries of a whole-cluster
+# test at C = 384 are ~48 vregs EACH (several live at once) — far past the
+# vector register file — so the dense test runs in (R, 128) chunks whose
+# working set stays register-resident.
+CHUNK = 128
 
-    VMEM-resident scenes slice directly; HBM-streamed scenes DMA the
-    (12, C) slab into scratch first (a synchronous copy per visit — the
-    ~1-2us latency is small against the dense intersection that follows).
+# Packed closest-hit key: the low 9 mantissa bits of the (positive) hit
+# distance are replaced by the triangle's index within its cluster, so the
+# per-visit winner falls out of ONE int32 lane-reduction instead of the
+# five (t-min, lane-argmin, first-mask, u-select, v-select) reductions of
+# the naive scheme — cross-lane reductions, not ALU work, dominate the
+# selection cost.  Positive-float bit patterns order like their values, so
+# min over keys is min over (t chopped to 512 ulp, triangle index).  Exact
+# t/u/v are recomputed OUTSIDE the kernel from the winning triangle's
+# plane rows (one row gather the shade pass pays anyway).
+IDX_BITS = 9  # cluster_size <= 512
+IDX_MASK = (1 << IDX_BITS) - 1
+_MISS_KEY = int(np.float32(BIG_T).view(np.int32)) & ~IDX_MASK
+_INIT_KEY = _MISS_KEY | IDX_MASK
+
+
+def _key_to_t(key):
+    """Chopped hit distance of a packed key (a <= 512-ulp underestimate of
+    the true t — only ever used for conservative traversal culling)."""
+    return jax.lax.bitcast_convert_type(key & ~IDX_MASK, jnp.float32)
+
+
+def _fetch_tri_chunk(tri_ref, base, j, scratch):
+    """Rows of chunk ``j`` of the visited cluster's triangle planes.
+
+    VMEM-resident scenes slice directly; HBM-streamed scenes were DMA'd
+    into ``scratch`` once per visit (see :func:`_stream_tri`) and chunks
+    are static slices of it.
     """
     if scratch is None:
-        return [tri_ref[row, pl.ds(base, c_size)]
+        cb = pl.multiple_of(base + j * CHUNK, 128)
+        return [tri_ref[row, pl.ds(cb, CHUNK)]
                 for row in range(N_TRI_PLANES)]
-    # streamed planes are padded to 16 rows (DMA slices must be 8-aligned
-    # in the sublane dimension)
+    lo = j * CHUNK
+    return [scratch[row, lo:lo + CHUNK] for row in range(N_TRI_PLANES)]
+
+
+def _stream_tri(tri_ref, base, c_size, scratch, sem):
+    """DMA the visited cluster's (16, C) plane slab HBM -> VMEM scratch
+    (a synchronous copy per visit — the ~1-2us latency is small against
+    the dense intersection that follows).  Streamed planes are padded to
+    16 rows: DMA slices must be 8-aligned in the sublane dimension."""
     dma = pltpu.make_async_copy(
         tri_ref.at[:, pl.ds(base, c_size)], scratch, sem)
     dma.start()
     dma.wait()
-    return [scratch[row, :] for row in range(N_TRI_PLANES)]
 
 
 def _mt_block(ocol, dcol, tri, t_max_col):
     """Dense (R, C) Baldwin-Weber intersection: ray columns (R, 1) x
-    precomputed triangle plane rows (1, C); see pack_triangle_planes."""
+    precomputed triangle plane rows (1, C); see pack_triangle_planes.
+
+    The divide is an approximate reciprocal plus two Newton steps: the
+    seed is only ~2^-8 accurate (measured in interpret mode), each step
+    squares the error, so two reach f32 precision — still cheaper than a
+    full divide.  No |den| guard is needed: den == 0 yields t = inf/nan
+    whose range comparisons are false, so parallel rays and degenerate
+    padding triangles miss regardless."""
     nx, ny, nz = tri[0][None, :], tri[1][None, :], tri[2][None, :]
     d_const = tri[3][None, :]
     ux, uy, uz, uw = (tri[4][None, :], tri[5][None, :], tri[6][None, :],
@@ -197,31 +250,41 @@ def _mt_block(ocol, dcol, tri, t_max_col):
     dx, dy, dz = dcol
 
     den = nx * dx + ny * dy + nz * dz
-    t = (d_const - (nx * ox + ny * oy + nz * oz)) / den
+    rcp = pl.reciprocal(den, approx=True)
+    rcp = rcp * (2.0 - den * rcp)
+    rcp = rcp * (2.0 - den * rcp)
+    t = (d_const - (nx * ox + ny * oy + nz * oz)) * rcp
     px = ox + t * dx
     py = oy + t * dy
     pz = oz + t * dz
     u = ux * px + uy * py + uz * pz + uw
     v = vx * px + vy * py + vz * pz + vw
-    hit = ((jnp.abs(den) > 1e-16) & (u >= 0.0) & (v >= 0.0)
-           & (u + v <= 1.0) & (t > 1e-6) & (t <= t_max_col))
+    hit = (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t > 1e-6)
+    if t_max_col is not None:  # closest-hit queries skip the upper bound:
+        hit = hit & (t <= t_max_col)  # the packed-key min subsumes it
     return t, u, v, hit
 
 
-def _ray_views(rays_ref, t):
-    o_rows = tuple(rays_ref[t, i, :][None, :] for i in range(3))
-    d_rows = tuple(rays_ref[t, i + 3, :][None, :] for i in range(3))
+def _ray_views(ray_refs, t):
+    """Per-tile (1, R) row / (R, 1) column views of the component refs
+    [ox, oy, oz, dx, dy, dz, maskf, (t_max)], each a (tb, R) block."""
+    o_rows = tuple(ray_refs[i][t, :][None, :] for i in range(3))
+    d_rows = tuple(ray_refs[i + 3][t, :][None, :] for i in range(3))
     inv_rows = tuple(_safe_inv_row(dr) for dr in d_rows)
     ocol = tuple(r.T for r in o_rows)
     dcol = tuple(r.T for r in d_rows)
     # Booleans derive from f32 AFTER any transpose — Mosaic cannot transpose
     # i1 vectors.
-    maskf_row = rays_ref[t, 6, :][None, :]
+    maskf_row = ray_refs[6][t, :][None, :]
     mask_row = maskf_row > 0.0
     mask_col = maskf_row.T > 0.0
-    maxt_row = rays_ref[t, 7, :][None, :]
-    maxt_col = maxt_row.T
-    return o_rows, d_rows, inv_rows, ocol, dcol, mask_row, mask_col, maxt_row, maxt_col
+    if len(ray_refs) > 7:
+        maxt_row = ray_refs[7][t, :][None, :]
+        maxt_col = maxt_row.T
+    else:
+        maxt_row = maxt_col = None
+    return (o_rows, d_rows, inv_rows, ocol, dcol, mask_row, mask_col,
+            maxt_row, maxt_col)
 
 
 def _box_cols(ref_rows):
@@ -229,10 +292,12 @@ def _box_cols(ref_rows):
     return tuple(ref_rows[i, :][:, None] for i in range(6))
 
 
-def _closest_kernel(rays_ref, sup_ref, clu_ref, tri_ref,
-                    tuv_ref, tri_out_ref, *rest,
+def _closest_kernel(*refs,
                     s_per: int, c_size: int, r: int, tb: int,
                     count_visits: bool = False):
+  ray_refs = refs[:7]  # ox oy oz dx dy dz maskf
+  sup_ref, clu_ref, tri_ref, t_out_ref, tri_out_ref = refs[7:12]
+  rest = refs[12:]
   # Optional telemetry output: clusters visited per ray tile (the traversal
   # cost driver — VERDICT.md round 1 asks for p50/p90 in the bench).
   if count_visits:
@@ -244,16 +309,17 @@ def _closest_kernel(rays_ref, sup_ref, clu_ref, tri_ref,
   # cost (DMA + dispatch) that would otherwise dominate the traversal.
   def tile_body(t, _carry):
     (o_rows, d_rows, inv_rows, ocol, dcol, mask_row, mask_col,
-     _, _) = _ray_views(rays_ref, t)
+     _, _) = _ray_views(ray_refs, t)
 
     sup_cols = _box_cols(sup_ref)
-    tn_s, hit_s = _slab_cols(sup_cols, o_rows, inv_rows, BIG_T)  # (NSP, R)
+    tn_s, hit_s = _slab_cols(sup_cols, o_rows, inv_rows, BIG_T)  # (nsp, R)
     hit_s = hit_s & mask_row
     tn_s = jnp.maximum(tn_s, 0.0)
 
-    sup_iota = jax.lax.broadcasted_iota(jnp.int32, (NSP, 1), 0)
+    nsp = sup_ref.shape[1]  # supers padded only to a sublane multiple
+    sup_iota = jax.lax.broadcasted_iota(jnp.int32, (nsp, 1), 0)
     clu_iota = jax.lax.broadcasted_iota(jnp.int32, (s_per, 1), 0)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (r, c_size), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (r, CHUNK), 1)
 
     def sup_score(visited, best_row):
         # Per-super entry distance over rays that could still improve —
@@ -269,37 +335,34 @@ def _closest_kernel(rays_ref, sup_ref, clu_ref, tri_ref,
         return jnp.where(cvis > 0.0, BIG_T, cscore)
 
     def visit_cluster(st):
-        (cscore, cvis, tn_c, hit_c, best_t, best_u, best_v, best_tri,
-         c_base, nvis) = st
+        (cscore, cvis, tn_c, hit_c, best_key, best_base, c_base, nvis) = st
         k = jnp.argmin(cscore[:, 0])
         cvis = jnp.maximum(cvis, (clu_iota == k).astype(jnp.float32))
         # declare the power-of-two alignment witness: Mosaic's divisibility
         # reasoning only accepts powers of two (c_size is a 128-multiple)
         base = pl.multiple_of((c_base + k) * c_size, 128)
-        tri = _fetch_tri(tri_ref, base, c_size, tri_scratch, tri_sem)
-        t, u, v, hit = _mt_block(ocol, dcol, tri, best_t)
-        hit = hit & mask_col
-        tt = jnp.where(hit, t, BIG_T)
-        tmin = jnp.min(tt, axis=1, keepdims=True)  # (R, 1)
-        idx = jnp.min(jnp.where(tt == tmin, lane, c_size), axis=1,
-                      keepdims=True)
-        first = lane == idx
-        usel = jnp.sum(jnp.where(first, u, 0.0), axis=1, keepdims=True)
-        vsel = jnp.sum(jnp.where(first, v, 0.0), axis=1, keepdims=True)
-        upd = tmin < best_t
-        best_t = jnp.where(upd, tmin, best_t)
-        return (cluster_score(cvis, tn_c, hit_c, best_t), cvis, tn_c, hit_c,
-                best_t,
-                jnp.where(upd, usel, best_u),
-                jnp.where(upd, vsel, best_v),
-                jnp.where(upd, base + idx, best_tri),
-                c_base, nvis + 1.0)
+        if tri_scratch is not None:
+            _stream_tri(tri_ref, base, c_size, tri_scratch, tri_sem)
+        acc = jnp.full((r, CHUNK), _INIT_KEY, jnp.int32)
+        for j in range(c_size // CHUNK):  # static unroll, see CHUNK
+            tri = _fetch_tri_chunk(tri_ref, base, j, tri_scratch)
+            t, u, v, hit = _mt_block(ocol, dcol, tri, None)
+            hit = hit & mask_col
+            ti = jax.lax.bitcast_convert_type(t, jnp.int32)
+            key = (ti & ~IDX_MASK) | (j * CHUNK + lane)
+            acc = jnp.minimum(acc, jnp.where(hit, key, _INIT_KEY))
+        vkey = jnp.min(acc, axis=1, keepdims=True)  # the ONE lane reduce
+        upd = vkey < best_key
+        best_key = jnp.where(upd, vkey, best_key)
+        best_base = jnp.where(upd, base, best_base)
+        return (cluster_score(cvis, tn_c, hit_c, _key_to_t(best_key)), cvis,
+                tn_c, hit_c, best_key, best_base, c_base, nvis + 1.0)
 
     def cluster_cond(st):
         return jnp.min(st[0]) < BIG_T * 0.5
 
     def visit_super(st):
-        score, svis, best_t, best_u, best_v, best_tri, nvis = st
+        score, svis, best_key, best_base, nvis = st
         s = jnp.argmin(score[:, 0])
         svis = jnp.maximum(svis, (sup_iota == s).astype(jnp.float32))
         cp = clu_ref[s]  # (6, S)
@@ -307,31 +370,29 @@ def _closest_kernel(rays_ref, sup_ref, clu_ref, tri_ref,
         hit_c = hit_c & mask_row
         tn_c = jnp.maximum(tn_c, 0.0)
         cvis0 = jnp.zeros((s_per, 1), jnp.float32)
-        inner = (cluster_score(cvis0, tn_c, hit_c, best_t), cvis0, tn_c,
-                 hit_c, best_t, best_u, best_v, best_tri,
+        inner = (cluster_score(cvis0, tn_c, hit_c, _key_to_t(best_key)),
+                 cvis0, tn_c, hit_c, best_key, best_base,
                  s * jnp.int32(s_per), nvis)
         inner = jax.lax.while_loop(cluster_cond, visit_cluster, inner)
-        _, _, _, _, best_t, best_u, best_v, best_tri, _, nvis = inner
-        return (sup_score(svis, best_t.T), svis, best_t, best_u, best_v,
-                best_tri, nvis)
+        _, _, _, _, best_key, best_base, _, nvis = inner
+        return (sup_score(svis, _key_to_t(best_key).T), svis, best_key,
+                best_base, nvis)
 
     def super_cond(st):
         return jnp.min(st[0]) < BIG_T * 0.5
 
-    svis0 = jnp.zeros((NSP, 1), jnp.float32)
-    best0 = jnp.full((r, 1), BIG_T, jnp.float32)
-    init = (sup_score(svis0, best0.T), svis0, best0,
-            jnp.zeros((r, 1), jnp.float32),
-            jnp.zeros((r, 1), jnp.float32),
-            jnp.full((r, 1), -1, jnp.int32),
+    svis0 = jnp.zeros((nsp, 1), jnp.float32)
+    key0 = jnp.full((r, 1), _INIT_KEY, jnp.int32)
+    base0 = jnp.zeros((r, 1), jnp.int32)
+    init = (sup_score(svis0, _key_to_t(key0).T), svis0, key0, base0,
             jnp.zeros((), jnp.float32))
-    _, _, best_t, best_u, best_v, best_tri, nvis = jax.lax.while_loop(
+    _, _, best_key, best_base, nvis = jax.lax.while_loop(
         super_cond, visit_super, init)
 
-    tuv_ref[t, 0, :] = best_t[:, 0]
-    tuv_ref[t, 1, :] = best_u[:, 0]
-    tuv_ref[t, 2, :] = best_v[:, 0]
-    tri_out_ref[t, 0, :] = best_tri[:, 0]
+    found = best_key < _MISS_KEY
+    t_out_ref[t, 0, :] = _key_to_t(best_key)[:, 0]
+    tri_out_ref[t, 0, :] = jnp.where(
+        found, best_base + (best_key & IDX_MASK), -1)[:, 0]
     if count_visits:
         vis_ref[t, 0, :] = jnp.full((r,), 1.0, jnp.float32) * nvis
     return _carry
@@ -339,18 +400,21 @@ def _closest_kernel(rays_ref, sup_ref, clu_ref, tri_ref,
   jax.lax.fori_loop(0, tb, tile_body, jnp.int32(0))
 
 
-def _any_kernel(rays_ref, sup_ref, clu_ref, tri_ref, occ_ref,
-                *scratch_refs, s_per: int, c_size: int, r: int, tb: int):
+def _any_kernel(*refs, s_per: int, c_size: int, r: int, tb: int):
+  ray_refs = refs[:8]  # ox oy oz dx dy dz maskf tmax
+  sup_ref, clu_ref, tri_ref, occ_ref = refs[8:12]
+  scratch_refs = refs[12:]
   tri_scratch, tri_sem = scratch_refs if scratch_refs else (None, None)
   def tile_body(t, _carry):
     (o_rows, d_rows, inv_rows, ocol, dcol, mask_row, mask_col,
-     maxt_row, maxt_col) = _ray_views(rays_ref, t)
+     maxt_row, maxt_col) = _ray_views(ray_refs, t)
 
     sup_cols = _box_cols(sup_ref)
     tn_s, hit_s = _slab_cols(sup_cols, o_rows, inv_rows, maxt_row)
     hit_s = hit_s & mask_row
 
-    sup_iota = jax.lax.broadcasted_iota(jnp.int32, (NSP, 1), 0)
+    nsp = sup_ref.shape[1]  # supers padded only to a sublane multiple
+    sup_iota = jax.lax.broadcasted_iota(jnp.int32, (nsp, 1), 0)
     clu_iota = jax.lax.broadcasted_iota(jnp.int32, (s_per, 1), 0)
 
     # occlusion carried as f32 rows (1, R): Mosaic cannot transpose or
@@ -373,10 +437,16 @@ def _any_kernel(rays_ref, sup_ref, clu_ref, tri_ref, occ_ref,
         # declare the power-of-two alignment witness: Mosaic's divisibility
         # reasoning only accepts powers of two (c_size is a 128-multiple)
         base = pl.multiple_of((c_base + k) * c_size, 128)
-        tri = _fetch_tri(tri_ref, base, c_size, tri_scratch, tri_sem)
-        _, _, _, hit = _mt_block(ocol, dcol, tri, maxt_col)
-        hit = hit & mask_col & (occ_row.T < 0.5)
-        newly = jnp.any(hit, axis=1, keepdims=True).astype(jnp.float32)
+        if tri_scratch is not None:
+            _stream_tri(tri_ref, base, c_size, tri_scratch, tri_sem)
+        # Accumulate the hit mask elementwise per chunk; pay ONE cross-lane
+        # reduction per visit (reductions, not ALU work, dominate).
+        acc = jnp.zeros((r, CHUNK), jnp.float32)
+        for j in range(c_size // CHUNK):  # static unroll, see CHUNK
+            tri = _fetch_tri_chunk(tri_ref, base, j, tri_scratch)
+            _, _, _, hit = _mt_block(ocol, dcol, tri, maxt_col)
+            acc = jnp.maximum(acc, (hit & mask_col).astype(jnp.float32))
+        newly = jnp.max(acc, axis=1, keepdims=True)  # (R, 1)
         occ_row = jnp.maximum(occ_row, newly.T)
         return (cluster_score(cvis, tn_c, hit_c, occ_row), cvis, tn_c, hit_c,
                 occ_row, c_base)
@@ -402,7 +472,7 @@ def _any_kernel(rays_ref, sup_ref, clu_ref, tri_ref, occ_ref,
     def super_cond(st):
         return jnp.min(st[0]) < BIG_T * 0.5
 
-    svis0 = jnp.zeros((NSP, 1), jnp.float32)
+    svis0 = jnp.zeros((nsp, 1), jnp.float32)
     occ0 = 1.0 - mask_row.astype(jnp.float32)
     init = (sup_score(svis0, occ0), svis0, occ0)
     _, _, occ_row = jax.lax.while_loop(super_cond, visit_super, init)
@@ -425,13 +495,15 @@ def _tiles_per_step(nb: int, want: int = 8) -> int:
     return max(tb, 1)
 
 
-def _pallas_trace(kernel, out_shapes, out_specs, rays, sup, clu, tri,
+def _pallas_trace(kernel, out_shapes, out_specs, ray_comps, sup, clu, tri,
                   n_steps, tb, block, stream, c_size):
     grid_spec = pl.GridSpec(
         grid=(n_steps,),
         in_specs=[
-            pl.BlockSpec((tb, 8, block), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, block), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in ray_comps
+        ] + [
             pl.BlockSpec(memory_space=pltpu.VMEM),  # super planes
             pl.BlockSpec(memory_space=pltpu.VMEM),  # cluster planes
             # triangle planes: VMEM-resident, or HBM-streamed per visit
@@ -447,7 +519,7 @@ def _pallas_trace(kernel, out_shapes, out_specs, rays, sup, clu, tri,
         grid_spec=grid_spec,
         out_shape=out_shapes,
         interpret=_should_interpret(),
-    )(rays, sup, clu, tri)
+    )(*ray_comps, sup, clu, tri)
 
 
 def _should_stream(tri) -> bool:
@@ -464,25 +536,60 @@ def _check_cluster_alignment(spec: BVHSpec) -> None:
             f"pallas tracer requires cluster_size % 128 == 0, got "
             f"{spec.cluster_size}; build the scene with "
             f"scene.build(cluster_size=cfg.cluster_size)")
+    if spec.cluster_size > (1 << IDX_BITS):
+        raise ValueError(
+            f"pallas tracer packs the in-cluster triangle index into "
+            f"{IDX_BITS} mantissa bits; cluster_size {spec.cluster_size} "
+            f"> {1 << IDX_BITS} cannot be represented")
+
+
+def recompute_tuv(o, d, rows, eps: float = 1e-20):
+    """Exact f32 (t, u, v) for known ray/triangle pairings.
+
+    ``rows`` is an (N, 12) slice of per-triangle Baldwin-Weber plane rows
+    (``pack_triangle_planes`` layout) gathered by hit triangle id.  The
+    kernel returns only (chopped t, triangle id) — recomputing here keeps
+    the per-(ray, triangle) work out of the traversal hot loop and runs
+    once per RAY, not once per candidate pair.
+
+    Miss lanes arrive with a clamped (arbitrary) triangle id; ``eps`` keeps
+    every intermediate finite for them (no inf/NaN under jax_debug_nans) —
+    callers mask the outputs by their own liveness."""
+    den = jnp.sum(rows[:, 0:3] * d, axis=-1)
+    num = rows[:, 3] - jnp.sum(rows[:, 0:3] * o, axis=-1)
+    safe = jnp.where(jnp.abs(den) < eps, eps, den)
+    t = num / safe
+    p = o + t[:, None] * d
+    u = jnp.sum(rows[:, 4:7] * p, axis=-1) + rows[:, 7]
+    v = jnp.sum(rows[:, 8:11] * p, axis=-1) + rows[:, 11]
+    return t, u, v
 
 
 def trace_closest(o, d, mask, sup, clu, tri, spec: BVHSpec,
                   block: int = 128, tiles_per_step: int = 8,
-                  stream=None, count_visits: bool = False):
+                  stream=None, count_visits: bool = False,
+                  exact_uv: bool = True):
     """Closest-hit query via the hierarchical Pallas tracer.
 
     ``sup``/``clu``/``tri`` are the prepacked planes from
     :func:`pack_scene_planes` (stored on SceneData at build time).
     With ``count_visits=True`` returns ``(Hit, (NB,) visits)`` — clusters
-    visited per ray tile, the traversal-cost telemetry the bench reports."""
+    visited per ray tile, the traversal-cost telemetry the bench reports.
+
+    The kernel itself returns (chopped t, triangle id); with
+    ``exact_uv=True`` (default) this gathers the winning triangles' plane
+    rows and recomputes exact f32 (t, u, v).  The renderer hot path passes
+    ``exact_uv=False`` and folds the same recompute into the shade-row
+    gather it already pays (``Hit.u``/``Hit.v`` are then zeros and ``Hit.t``
+    is a <= 512-ulp underestimate)."""
     _check_cluster_alignment(spec)
     n = o.shape[0]
     assert n % block == 0, f"ray count {n} not a multiple of block {block}"
     s_per, ns = super_layout(spec)
-    t_max = jnp.full((n,), BIG_T)
-    rays, nb = _pack_rays(o, d, mask, t_max, block)
+    ray_comps, nb = _pack_rays(o, d, mask, None, block)
     tb = _tiles_per_step(nb, tiles_per_step)
     n_steps = nb // tb
+    tri_planes = tri  # pre-padding: the epilogue gathers from these rows
     if stream is None:
         stream = _should_stream(tri)
     if stream:
@@ -492,11 +599,11 @@ def trace_closest(o, d, mask, sup, clu, tri, spec: BVHSpec,
                                c_size=spec.cluster_size, r=block, tb=tb,
                                count_visits=count_visits)
     out_shapes = (
-        jax.ShapeDtypeStruct((nb, 3, block), jnp.float32),
+        jax.ShapeDtypeStruct((nb, 1, block), jnp.float32),
         jax.ShapeDtypeStruct((nb, 1, block), jnp.int32),
     )
     out_specs = (
-        pl.BlockSpec((tb, 3, block), lambda i: (i, 0, 0),
+        pl.BlockSpec((tb, 1, block), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((tb, 1, block), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -505,16 +612,24 @@ def trace_closest(o, d, mask, sup, clu, tri, spec: BVHSpec,
         out_shapes += (jax.ShapeDtypeStruct((nb, 1, block), jnp.float32),)
         out_specs += (pl.BlockSpec((tb, 1, block), lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM),)
-    out = _pallas_trace(kernel, out_shapes, out_specs, rays, sup,
+    out = _pallas_trace(kernel, out_shapes, out_specs, ray_comps, sup,
                         clu, tri, n_steps, tb, block, stream,
                         spec.cluster_size)
-    tuv, tri_id = out[0], out[1]
-    hit = Hit(
-        t=tuv[:, 0, :].reshape(n),
-        u=tuv[:, 1, :].reshape(n),
-        v=tuv[:, 2, :].reshape(n),
-        tri=tri_id.reshape(n),
-    )
+    t_chop = out[0].reshape(n)
+    tri_id = out[1].reshape(n)
+    if exact_uv:
+        found = tri_id >= 0
+        rows = jnp.take(tri_planes, jnp.maximum(tri_id, 0), axis=1).T
+        t, u, v = recompute_tuv(o, d, rows)
+        hit = Hit(
+            t=jnp.where(found, t, BIG_T),
+            u=jnp.where(found, u, 0.0),
+            v=jnp.where(found, v, 0.0),
+            tri=tri_id,
+        )
+    else:
+        z = jnp.zeros((n,), jnp.float32)
+        hit = Hit(t=t_chop, u=z, v=z, tri=tri_id)
     if count_visits:
         return hit, out[2][:, 0, 0]
     return hit
@@ -527,7 +642,7 @@ def trace_any(o, d, max_t, mask, sup, clu, tri, spec: BVHSpec,
     n = o.shape[0]
     assert n % block == 0, f"ray count {n} not a multiple of block {block}"
     s_per, ns = super_layout(spec)
-    rays, nb = _pack_rays(o, d, mask, max_t, block)
+    ray_comps, nb = _pack_rays(o, d, mask, max_t, block)
     tb = _tiles_per_step(nb, tiles_per_step)
     n_steps = nb // tb
     if stream is None:
@@ -542,6 +657,6 @@ def trace_any(o, d, max_t, mask, sup, clu, tri, spec: BVHSpec,
         jax.ShapeDtypeStruct((nb, 1, block), jnp.int32),
         pl.BlockSpec((tb, 1, block), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
-        rays, sup, clu, tri, n_steps, tb, block, stream,
+        ray_comps, sup, clu, tri, n_steps, tb, block, stream,
         spec.cluster_size)
     return occ.reshape(n) > 0

@@ -105,7 +105,10 @@ def _make_tracers(data: SceneData, spec: SceneSpec, cfg: RenderConfig):
         closest = functools.partial(
             trace_pallas.trace_closest, sup=data.sup_planes,
             clu=data.clu_planes, tri=data.tri_planes, spec=spec.bvh,
-            block=cfg.ray_block, count_visits=cfg.telemetry)
+            block=cfg.ray_block, count_visits=cfg.telemetry,
+            # the renderer recomputes exact (t, u, v) from the shade-row
+            # gather it pays anyway — skip the tracer's own plane gather
+            exact_uv=False)
         any_hit = functools.partial(
             trace_pallas.trace_any, sup=data.sup_planes,
             clu=data.clu_planes, tri=data.tri_planes, spec=spec.bvh,
@@ -232,26 +235,36 @@ def render_rays(
                 octant = ((d[:, 0] > 0).astype(jnp.int32)
                           + 2 * (d[:, 1] > 0).astype(jnp.int32)
                           + 4 * (d[:, 2] > 0).astype(jnp.int32))
-                key = jnp.where(alive, (octant << 27) | m, jnp.int32(2**30))
+                if cfg.sort_key == "hybrid":
+                    # coarse origin cell (top 2 Morton bits/axis), then
+                    # direction octant, then fine origin Morton: blocks
+                    # share a region AND a direction cone.
+                    key = (((m >> 21) << 24) | (octant << 21)
+                           | (m & 0x1FFFFF))
+                else:  # "dir_major" — measured 22% over origin-major (r1)
+                    key = (octant << 27) | m
+                key = jnp.where(alive, key, jnp.int32(2**30))
             else:
                 # Partition only: live rays first, preserving tile order.
-                key = jnp.where(alive, jnp.int32(0), jnp.int32(1))
+                key = jnp.where(alive, jnp.int32(0), jnp.int32(2**30))
             # One multi-operand sort carries every per-ray attribute with
             # the key — measured 8.6x cheaper than argsort + per-array
             # gathers (TPU gathers are slow; sort networks stream).
+            # ``alive`` rides in the key itself (dead rays sort to the
+            # 2^30 sentinel) instead of as a 16th operand.
             s = jax.lax.sort(
                 (key, o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
                  color[:, 0], color[:, 1], color[:, 2],
                  accum[:, 0], accum[:, 1], accum[:, 2],
-                 idx, alive.astype(jnp.int32), cur),
+                 idx, cur),
                 dimension=0, is_stable=True, num_keys=1)
             o = jnp.stack(s[1:4], axis=1)
             d = jnp.stack(s[4:7], axis=1)
             color = jnp.stack(s[7:10], axis=1)
             accum = jnp.stack(s[10:13], axis=1)
             idx = s[13]
-            alive = s[14] > 0
-            cur = s[15]
+            alive = s[0] < jnp.int32(2**30)
+            cur = s[14]
 
         closest_count += jnp.sum(alive.astype(jnp.int32))
         if cfg.telemetry:
@@ -269,27 +282,29 @@ def render_rays(
         alive = alive & hit.found  # megakernel's break-on-miss (:246-247)
         tri = jnp.maximum(hit.tri, 0)
 
-        # One row gather fetches the hit triangle's corner normals, albedo,
-        # and material id together (five separate gathers would each pay
+        # One row gather fetches the hit triangle's affine normal map,
+        # albedo, and material id together (separate gathers would each pay
         # the TPU per-index gather cost).
         row = data.shade_table[tri]
-        # Barycentric normal interpolation: weights (1-u-v, u, v) on corners
-        # (0, 1, 2), matching interpolateVertexAttribute
-        # (reference: Raytracing.metal:60-73, 266-268).
-        uw = hit.u[:, None]
-        vw = hit.v[:, None]
-        ns = ((1.0 - uw - vw) * row[:, 0:3] + uw * row[:, 3:6]
-              + vw * row[:, 6:9])
-        ns = _normalize(ns)
         # Dead lanes keep pos = o: a BIG_T miss distance would overflow the
         # light-distance math into inf*0 NaNs (masked but trips debug_nans).
+        # For the pallas tracer hit.t is a <= 512-ulp (2^-14 relative)
+        # underestimate — far below the 1e-3 surface offsets and invisible
+        # against the parity budget; exact tracers pass exact t through.
         pos = o + d * jnp.where(alive, hit.t, 0.0)[:, None]
+        # Barycentric vertex-normal interpolation as an affine map of the
+        # hit point, ns = M pos + m0 (see scene.py shade_table — identical
+        # to weights (1-u-v, u, v) on corners, matching
+        # interpolateVertexAttribute, reference: Raytracing.metal:60-73).
+        ns = (row[:, 0:3] * pos[:, 0:1] + row[:, 3:6] * pos[:, 1:2]
+              + row[:, 6:9] * pos[:, 2:3] + row[:, 9:12])
+        ns = _normalize(ns)
 
-        base_color = row[:, 9:12]
+        base_color = row[:, 12:15]
         mid = None  # materialized only for the gated extensions below
 
         if cfg.enable_emission:
-            mid = row[:, 12].astype(jnp.int32)
+            mid = row[:, 15].astype(jnp.int32)
             accum += jnp.where(alive[:, None], color * mats.emission[mid], 0.0)
 
         # One uniformly random light per ray (reference: :272-275).
@@ -329,7 +344,7 @@ def render_rays(
         d_diffuse = sampling.align_hemisphere_with_normal(local, ns)
 
         if cfg.enable_specular:
-            mid = row[:, 12].astype(jnp.int32)
+            mid = row[:, 15].astype(jnp.int32)
             spec_color = mats.specular[mid]
             shininess = mats.specular_exponent[mid][:, None]
             kd_max = jnp.max(base_color, axis=-1)

@@ -46,8 +46,12 @@ def halton(i: jnp.ndarray, d: int) -> jnp.ndarray:
     r = jnp.zeros(i.shape, jnp.float32)
     for _ in range(n_digits):
         f = f * inv_b
-        r = r + f * (i % b).astype(jnp.float32)
-        i = i // b
+        # One constant division per digit: the remainder comes from the
+        # quotient (i - q*b) instead of a second magic-number divide —
+        # integer multiplies are the expensive op on the TPU's f32 VPU.
+        q = i // b
+        r = r + f * (i - q * b).astype(jnp.float32)
+        i = q
     return r
 
 

@@ -76,9 +76,10 @@ class SceneData(NamedTuple):
     sup_planes: jnp.ndarray = None  # (6, 128) f32
     clu_planes: jnp.ndarray = None  # (NS, 6, S) f32
     tri_planes: jnp.ndarray = None  # (12, T) f32
-    # Per-triangle shading rows [n0(3) n1(3) n2(3) kd(3) mat_id pad(3)] so
-    # the shade pass does ONE row gather per hit instead of five separate
-    # gathers (TPU gathers are per-index expensive).
+    # Per-triangle shading rows [M(9) m0(3) kd(3) mat_id]: the affine
+    # normal map ns(p) = M p + m0 plus albedo, so the shade pass does ONE
+    # narrow row gather per hit and needs no per-ray barycentrics (TPU
+    # gathers are per-index expensive and price by row width).
     shade_table: jnp.ndarray = None  # (T, 16) f32
     env_map: Optional[jnp.ndarray] = None  # (He, We, 3) f32 lat-long, or None
 
@@ -263,11 +264,27 @@ def build_scene_data(
     node_hi_j = jnp.asarray(node_hi)
     sup, clu, tri = pack_scene_planes(geometry, node_lo_j, node_hi_j, bvh_spec)
     kd = material_table.base_color[geometry.material_id]
-    shade_table = jnp.concatenate([
-        geometry.n0, geometry.n1, geometry.n2, kd,
-        geometry.material_id[:, None].astype(jnp.float32),
-        jnp.zeros((geometry.v0.shape[0], 3), jnp.float32),
-    ], axis=1)
+    # Row layout: [M(9) m0(3) kd(3) mid(1)] — the barycentric corner-normal
+    # interpolation folded into an affine map of the hit POINT:
+    #   ns(p) = M p + m0
+    # with M = (n1-n0) (x) U + (n2-n0) (x) V and m0 = n0 + uw(n1-n0)
+    # + vw(n2-n0), using the Baldwin-Weber barycentric planes u = U.p + uw,
+    # v = V.p + vw (algebraically identical to interpolating with (1-u-v,
+    # u, v), reference: Raytracing.metal:60-73, 266-268).  The renderer
+    # then needs only (t, triangle id) from the tracer — no per-ray u/v —
+    # and the row stays 16 floats wide (TPU row gathers price by width).
+    # M is stored by COLUMN: rows 0:3 multiply p_x, 3:6 p_y, 6:9 p_z.
+    uvec, uw = tri[4:7].T, tri[7][:, None]
+    vvec, vw = tri[8:11].T, tri[11][:, None]
+    bn = geometry.n1 - geometry.n0
+    cn = geometry.n2 - geometry.n0
+    m_cols = [bn * uvec[:, j:j + 1] + cn * vvec[:, j:j + 1]
+              for j in range(3)]
+    m0 = geometry.n0 + uw * bn + vw * cn
+    shade_table = jnp.concatenate(
+        m_cols + [m0, kd,
+                  geometry.material_id[:, None].astype(jnp.float32)],
+        axis=1)
     data = SceneData(
         geometry=geometry,
         node_lo=node_lo_j,

@@ -242,6 +242,9 @@ class RenderConfig:
     # octant so traversal blocks stay spatially coherent after the first
     # bounce (costs one argsort per bounce; identical image).
     sort_bounces: bool = True
+    # Bounce sort-key layout: "dir_major" (octant then origin Morton) |
+    # "hybrid" (coarse origin cell, then octant, then fine Morton).
+    sort_key: str = "dir_major"
     # Shade extensions beyond the reference's diffuse-only shading
     enable_specular: bool = False
     enable_emission: bool = False
