@@ -88,6 +88,20 @@ def main() -> int:
                     row["visits_bounce_p50_p90"] = [
                         float(np.percentile(b, 50)),
                         float(np.percentile(b, 90))]
+                skeys = sorted(k for k in stats
+                               if k.startswith("shadow_visits_"))
+                if skeys:
+                    sv = np.concatenate(
+                        [np.asarray(stats[k]) for k in skeys])
+                    sv = sv[sv > 0]
+                    row["shadow_visits_p50_p90_mean"] = [
+                        float(np.percentile(sv, 50)),
+                        float(np.percentile(sv, 90)),
+                        float(sv.mean())]
+                    bv = np.concatenate(
+                        [np.asarray(stats[k]) for k in vkeys])
+                    bv = bv[bv > 0]
+                    row["closest_visits_mean"] = float(bv.mean())
             print(json.dumps(row), flush=True)
     return 0
 

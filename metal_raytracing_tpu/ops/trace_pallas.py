@@ -400,10 +400,15 @@ def _closest_kernel(*refs,
   jax.lax.fori_loop(0, tb, tile_body, jnp.int32(0))
 
 
-def _any_kernel(*refs, s_per: int, c_size: int, r: int, tb: int):
+def _any_kernel(*refs, s_per: int, c_size: int, r: int, tb: int,
+                count_visits: bool = False):
   ray_refs = refs[:8]  # ox oy oz dx dy dz maskf tmax
   sup_ref, clu_ref, tri_ref, occ_ref = refs[8:12]
-  scratch_refs = refs[12:]
+  rest = refs[12:]
+  if count_visits:
+      vis_ref, *scratch_refs = rest
+  else:
+      vis_ref, scratch_refs = None, list(rest)
   tri_scratch, tri_sem = scratch_refs if scratch_refs else (None, None)
   def tile_body(t, _carry):
     (o_rows, d_rows, inv_rows, ocol, dcol, mask_row, mask_col,
@@ -431,7 +436,7 @@ def _any_kernel(*refs, s_per: int, c_size: int, r: int, tb: int):
         return jnp.where(cvis > 0.0, BIG_T, cscore)
 
     def visit_cluster(st):
-        cscore, cvis, tn_c, hit_c, occ_row, c_base = st
+        cscore, cvis, tn_c, hit_c, occ_row, c_base, nvis = st
         k = jnp.argmin(cscore[:, 0])
         cvis = jnp.maximum(cvis, (clu_iota == k).astype(jnp.float32))
         # declare the power-of-two alignment witness: Mosaic's divisibility
@@ -449,13 +454,13 @@ def _any_kernel(*refs, s_per: int, c_size: int, r: int, tb: int):
         newly = jnp.max(acc, axis=1, keepdims=True)  # (R, 1)
         occ_row = jnp.maximum(occ_row, newly.T)
         return (cluster_score(cvis, tn_c, hit_c, occ_row), cvis, tn_c, hit_c,
-                occ_row, c_base)
+                occ_row, c_base, nvis + 1.0)
 
     def cluster_cond(st):
         return jnp.min(st[0]) < BIG_T * 0.5
 
     def visit_super(st):
-        score, svis, occ_row = st
+        score, svis, occ_row, nvis = st
         s = jnp.argmin(score[:, 0])
         svis = jnp.maximum(svis, (sup_iota == s).astype(jnp.float32))
         cp = clu_ref[s]
@@ -464,21 +469,23 @@ def _any_kernel(*refs, s_per: int, c_size: int, r: int, tb: int):
         tn_c = jnp.maximum(tn_c, 0.0)
         cvis0 = jnp.zeros((s_per, 1), jnp.float32)
         inner = (cluster_score(cvis0, tn_c, hit_c, occ_row), cvis0, tn_c,
-                 hit_c, occ_row, s * jnp.int32(s_per))
+                 hit_c, occ_row, s * jnp.int32(s_per), nvis)
         inner = jax.lax.while_loop(cluster_cond, visit_cluster, inner)
-        occ_row = inner[4]
-        return (sup_score(svis, occ_row), svis, occ_row)
+        occ_row, nvis = inner[4], inner[6]
+        return (sup_score(svis, occ_row), svis, occ_row, nvis)
 
     def super_cond(st):
         return jnp.min(st[0]) < BIG_T * 0.5
 
     svis0 = jnp.zeros((nsp, 1), jnp.float32)
     occ0 = 1.0 - mask_row.astype(jnp.float32)
-    init = (sup_score(svis0, occ0), svis0, occ0)
-    _, _, occ_row = jax.lax.while_loop(super_cond, visit_super, init)
+    init = (sup_score(svis0, occ0), svis0, occ0, jnp.zeros((), jnp.float32))
+    _, _, occ_row, nvis = jax.lax.while_loop(super_cond, visit_super, init)
     # masked-off rays were seeded "occluded" to kill their work; report 0
     occ_i32 = (occ_row > 0.5).astype(jnp.int32)
     occ_ref[t, 0, :] = jnp.where(mask_row, occ_i32, 0)[0, :]
+    if count_visits:
+        vis_ref[t, 0, :] = jnp.full((r,), 1.0, jnp.float32) * nvis
     return _carry
 
   jax.lax.fori_loop(0, tb, tile_body, jnp.int32(0))
@@ -636,8 +643,14 @@ def trace_closest(o, d, mask, sup, clu, tri, spec: BVHSpec,
 
 
 def trace_any(o, d, max_t, mask, sup, clu, tri, spec: BVHSpec,
-              block: int = 128, tiles_per_step: int = 8, stream=None):
-    """Any-hit occlusion query via the hierarchical Pallas tracer."""
+              block: int = 128, tiles_per_step: int = 8, stream=None,
+              count_visits: bool = False):
+    """Any-hit occlusion query via the hierarchical Pallas tracer.
+
+    With ``count_visits=True`` returns ``(occluded, (NB,) visits)`` —
+    clusters visited per ray tile (occlusion passes must EXHAUST every
+    candidate cluster for unoccluded rays, so their visit counts can
+    exceed the closest pass's; the bench telemetry tracks both)."""
     _check_cluster_alignment(spec)
     n = o.shape[0]
     assert n % block == 0, f"ray count {n} not a multiple of block {block}"
@@ -651,12 +664,20 @@ def trace_any(o, d, max_t, mask, sup, clu, tri, spec: BVHSpec,
         tri = jnp.pad(tri, ((0, 16 - N_TRI_PLANES), (0, 0)))
 
     kernel = functools.partial(_any_kernel, s_per=s_per,
-                               c_size=spec.cluster_size, r=block, tb=tb)
-    occ = _pallas_trace(
-        kernel,
-        jax.ShapeDtypeStruct((nb, 1, block), jnp.int32),
-        pl.BlockSpec((tb, 1, block), lambda i: (i, 0, 0),
-                     memory_space=pltpu.VMEM),
+                               c_size=spec.cluster_size, r=block, tb=tb,
+                               count_visits=count_visits)
+    out_shapes = (jax.ShapeDtypeStruct((nb, 1, block), jnp.int32),)
+    out_specs = (pl.BlockSpec((tb, 1, block), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM),)
+    if count_visits:
+        out_shapes += (jax.ShapeDtypeStruct((nb, 1, block), jnp.float32),)
+        out_specs += (pl.BlockSpec((tb, 1, block), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),)
+    out = _pallas_trace(
+        kernel, out_shapes if count_visits else out_shapes[0],
+        out_specs if count_visits else out_specs[0],
         ray_comps, sup, clu, tri, n_steps, tb, block, stream,
         spec.cluster_size)
-    return occ.reshape(n) > 0
+    if count_visits:
+        return out[0].reshape(n) > 0, out[1][:, 0, 0]
+    return out.reshape(n) > 0

@@ -112,7 +112,7 @@ def _make_tracers(data: SceneData, spec: SceneSpec, cfg: RenderConfig):
         any_hit = functools.partial(
             trace_pallas.trace_any, sup=data.sup_planes,
             clu=data.clu_planes, tri=data.tri_planes, spec=spec.bvh,
-            block=cfg.ray_block)
+            block=cfg.ray_block, count_visits=cfg.telemetry)
     else:
         raise ValueError(f"unknown tracer {cfg.tracer!r}")
     return closest, any_hit, cfg.tracer
@@ -329,6 +329,8 @@ def render_rays(
         shadow_o = pos + ns * 1e-3  # :350
         occluded = any_fn(shadow_o, ls.direction, ls.distance - 1e-3,
                           do_shadow)
+        if cfg.telemetry and tracer_kind == "pallas":
+            occluded, tele_stats[f"shadow_visits_b{bounce}"] = occluded
         visible = do_shadow & ~occluded
         accum += jnp.where(visible[:, None], lcolor * dcolor, 0.0)  # :371-373
 
