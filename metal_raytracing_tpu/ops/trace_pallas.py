@@ -234,12 +234,15 @@ def _mt_block(ocol, dcol, tri, t_max_col):
     """Dense (R, C) Baldwin-Weber intersection: ray columns (R, 1) x
     precomputed triangle plane rows (1, C); see pack_triangle_planes.
 
-    The divide is an approximate reciprocal plus two Newton steps: the
-    seed is only ~2^-8 accurate (measured in interpret mode), each step
-    squares the error, so two reach f32 precision — still cheaper than a
-    full divide.  No |den| guard is needed: den == 0 yields t = inf/nan
-    whose range comparisons are false, so parallel rays and degenerate
-    padding triangles miss regardless."""
+    The divide is an approximate reciprocal plus ONE Newton step: the seed
+    is ~2^-8 accurate (measured in interpret mode) and the step squares the
+    error to ~2^-16 — below the 2^-14 relative chop the packed selection
+    key applies to t anyway (exact t/u/v are recomputed OUTSIDE the kernel
+    from the winning triangle's plane rows, see recompute_tuv), and far
+    below the 1e-3/1e-4 scene epsilons the any-hit t_max compare works
+    against.  No |den| guard is needed: den == 0 yields t = inf/nan whose
+    range comparisons are false, so parallel rays and degenerate padding
+    triangles miss regardless."""
     nx, ny, nz = tri[0][None, :], tri[1][None, :], tri[2][None, :]
     d_const = tri[3][None, :]
     ux, uy, uz, uw = (tri[4][None, :], tri[5][None, :], tri[6][None, :],
@@ -251,7 +254,6 @@ def _mt_block(ocol, dcol, tri, t_max_col):
 
     den = nx * dx + ny * dy + nz * dz
     rcp = pl.reciprocal(den, approx=True)
-    rcp = rcp * (2.0 - den * rcp)
     rcp = rcp * (2.0 - den * rcp)
     t = (d_const - (nx * ox + ny * oy + nz * oz)) * rcp
     px = ox + t * dx

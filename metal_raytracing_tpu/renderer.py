@@ -327,10 +327,46 @@ def render_rays(
             tele_stats[f"shadow_b{bounce}"] = jnp.sum(
                 do_shadow.astype(jnp.int32))
         shadow_o = pos + ns * 1e-3  # :350
-        occluded = any_fn(shadow_o, ls.direction, ls.distance - 1e-3,
-                          do_shadow)
-        if cfg.telemetry and tracer_kind == "pallas":
-            occluded, tele_stats[f"shadow_visits_b{bounce}"] = occluded
+        sdist = ls.distance - 1e-3
+        if cfg.shadow_sort and cfg.compaction and bounce > 0:
+            # Shadow re-sort (see RenderConfig.shadow_sort): shadow origins
+            # are the scattered hit points of this bounce's rays, not the
+            # sorted origins the bounce key arranged — and the shadow
+            # direction is a function of the origin (it points at the
+            # light), so (light, origin-Morton) alone makes blocks coherent
+            # in both.  Measured shadow passes visit MORE clusters than
+            # closest passes without this (mean 13.5 vs 9.0, BASELINE.md).
+            root_lo = data.node_lo[0]
+            root_ext = jnp.maximum(data.node_hi[0] - root_lo, 1e-12)
+            q = jnp.clip(((shadow_o - root_lo) / root_ext) * 512.0,
+                         0.0, 511.0).astype(jnp.int32)
+            m = (_expand_bits_9(q[:, 0]) << 2 |
+                 _expand_bits_9(q[:, 1]) << 1 | _expand_bits_9(q[:, 2]))
+            # light index in the top bits (assumes < 16 lights); rays with
+            # no shadow work sort last into whole dead blocks the kernel
+            # exits at fixed cost
+            skey = (light_idx << 27) | m
+            skey = jnp.where(do_shadow, skey, jnp.int32(2**30))
+            slot = jnp.arange(p, dtype=jnp.int32)
+            ss = jax.lax.sort(
+                (skey, shadow_o[:, 0], shadow_o[:, 1], shadow_o[:, 2],
+                 ls.direction[:, 0], ls.direction[:, 1], ls.direction[:, 2],
+                 sdist, slot),
+                dimension=0, is_stable=False, num_keys=1)
+            res = any_fn(jnp.stack(ss[1:4], axis=1),
+                         jnp.stack(ss[4:7], axis=1), ss[7],
+                         ss[0] < jnp.int32(2**30))
+            if cfg.telemetry and tracer_kind == "pallas":
+                res, tele_stats[f"shadow_visits_b{bounce}"] = res
+            # un-permute through a second sort on the carried slot (18x
+            # cheaper than a scatter)
+            u = jax.lax.sort((ss[8], res.astype(jnp.int32)),
+                             dimension=0, is_stable=False, num_keys=1)
+            occluded = u[1] > 0
+        else:
+            occluded = any_fn(shadow_o, ls.direction, sdist, do_shadow)
+            if cfg.telemetry and tracer_kind == "pallas":
+                occluded, tele_stats[f"shadow_visits_b{bounce}"] = occluded
         visible = do_shadow & ~occluded
         accum += jnp.where(visible[:, None], lcolor * dcolor, 0.0)  # :371-373
 

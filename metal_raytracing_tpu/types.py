@@ -245,6 +245,13 @@ class RenderConfig:
     # Bounce sort-key layout: "dir_major" (octant then origin Morton) |
     # "hybrid" (coarse origin cell, then octant, then fine Morton).
     sort_key: str = "dir_major"
+    # Re-sort bounce-shadow rays by (light index, hit-point Morton) before
+    # the occlusion pass: a shadow ray's direction is determined by its
+    # origin (it points at the sampled light), so one origin key buys both
+    # origin AND direction coherence — the bounce sort's order is tuned
+    # for the bounce direction, not the shadow segment.  Costs one 9-operand
+    # sort + one 2-operand unsort per bounce >= 1; identical image.
+    shadow_sort: bool = True
     # Shade extensions beyond the reference's diffuse-only shading
     enable_specular: bool = False
     enable_emission: bool = False
