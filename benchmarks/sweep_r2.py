@@ -28,9 +28,12 @@ def main() -> int:
     ap.add_argument("--clusters", default="384,256,128")
     ap.add_argument("--telemetry", action="store_true")
     ap.add_argument("--tracer", default="pallas")
+    ap.add_argument("--ray-block", type=int, default=128)
     ap.add_argument("--sort-keys", default="dir_major")
     ap.add_argument("--shadow-sort", default="1",
                     help="comma list of 0/1 to A/B the shadow re-sort")
+    ap.add_argument("--shadow-sort-primary", default="0",
+                    help="comma list of 0/1: re-sort the primary shadow pass")
     args = ap.parse_args()
 
     from metal_raytracing_tpu.utils.cache import enable_compilation_cache
@@ -50,17 +53,18 @@ def main() -> int:
 
     import itertools
 
-    for builder, csize, skey, ssort in itertools.product(
+    for builder, csize, skey, ssort, sprim in itertools.product(
             args.builders.split(","),
             (int(c) for c in args.clusters.split(",")),
             args.sort_keys.split(","),
-            (bool(int(v)) for v in args.shadow_sort.split(","))):
+            (bool(int(v)) for v in args.shadow_sort.split(",")),
+            (bool(int(v)) for v in args.shadow_sort_primary.split(","))):
             scene = get_scene(args.scene, args.size, args.size)
             cfg = RenderConfig(width=args.size, height=args.size,
                                max_bounces=3, tracer=args.tracer,
-                               ray_block=128, cluster_size=csize,
+                               ray_block=args.ray_block, cluster_size=csize,
                                bvh_builder=builder, sort_key=skey,
-                               shadow_sort=ssort)
+                               shadow_sort=ssort, shadow_sort_primary=sprim)
             t0 = time.perf_counter()
             r = Renderer(scene, cfg)
             build_s = time.perf_counter() - t0
@@ -68,8 +72,10 @@ def main() -> int:
             row = {
                 "builder": builder,
                 "cluster_size": csize,
+                "ray_block": args.ray_block,
                 "sort_key": skey,
                 "shadow_sort": ssort,
+                "shadow_sort_primary": sprim,
                 "ms_per_sample": round(res.per_sample_seconds * 1e3, 1),
                 "mrays_per_sec": round(res.mrays_per_sec, 3),
                 "build_s": round(build_s, 2),

@@ -178,3 +178,13 @@ def test_compaction_matches_uncompacted(small_scene):
     img_on = Renderer(small_scene, _cfg(compaction=True)).render(1)
     img_off = Renderer(small_scene, _cfg(compaction=False)).render(1)
     assert rmse(img_on, img_off) < 1e-7
+
+
+def test_shadow_sort_is_pure_permutation(small_scene):
+    """The (light, hit-point Morton) shadow re-sort (RenderConfig.shadow_sort)
+    reorders occlusion queries only — the image must be bit-identical."""
+    img_on = Renderer(small_scene, _cfg(max_bounces=3,
+                                        shadow_sort=True)).render(2)
+    img_off = Renderer(small_scene, _cfg(max_bounces=3,
+                                         shadow_sort=False)).render(2)
+    assert rmse(img_on, img_off) == 0.0
