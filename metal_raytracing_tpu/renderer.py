@@ -376,10 +376,11 @@ def render_rays(
             if cfg.telemetry and tracer_kind == "pallas":
                 res, tele_stats[f"shadow_visits_b{bounce}"] = res
             # un-permute through a second sort on the carried slot (18x
-            # cheaper than a scatter)
-            u = jax.lax.sort((ss[8], res.astype(jnp.int32)),
-                             dimension=0, is_stable=False, num_keys=1)
-            occluded = u[1] > 0
+            # cheaper than a scatter); the 1-bit occlusion result rides in
+            # the low bit below the (unique) slot — a single-operand sort
+            packed = (ss[8] << 1) | res.astype(jnp.int32)
+            u = jax.lax.sort(packed, dimension=0, is_stable=False)
+            occluded = (u & 1) > 0
         else:
             occluded = any_fn(shadow_o, ls.direction, sdist, do_shadow)
             if cfg.telemetry and tracer_kind == "pallas":

@@ -188,3 +188,14 @@ def test_shadow_sort_is_pure_permutation(small_scene):
     img_off = Renderer(small_scene, _cfg(max_bounces=3,
                                          shadow_sort=False)).render(2)
     assert rmse(img_on, img_off) == 0.0
+
+
+@pytest.mark.parametrize("key", ["dir_major", "hybrid", "dir6", "dir9"])
+def test_sort_keys_are_pure_permutations(small_scene, key):
+    """Every bounce sort-key layout reorders traversal blocks only — the
+    image must be bit-identical across keys (per-ray results are
+    independent of block membership)."""
+    ref = Renderer(small_scene, _cfg(max_bounces=3,
+                                     sort_key="dir_major")).render(1)
+    img = Renderer(small_scene, _cfg(max_bounces=3, sort_key=key)).render(1)
+    assert rmse(ref, img) == 0.0
