@@ -64,6 +64,8 @@ def main() -> int:
         o = jnp.broadcast_to(cam.position[None], d.shape)
         mask = jnp.ones((d.shape[0],), bool)
 
+        if os.environ.get("KVC_MISS"):
+            d = -d  # rays point away from the scene: zero visits
         f = jax.jit(lambda o, d, m: trace_pallas.trace_closest(
             o, d, m, data.sup_planes, data.clu_planes, data.tri_planes,
             spec.bvh, block=128, exact_uv=False).t)

@@ -493,6 +493,170 @@ def _any_kernel(*refs, s_per: int, c_size: int, r: int, tb: int,
   jax.lax.fori_loop(0, tb, tile_body, jnp.int32(0))
 
 
+def _closest_flat_kernel(*refs, c_size: int, r: int, tb: int,
+                         count_visits: bool = False):
+  """Single-level traversal: extract-min directly over ALL cluster AABBs.
+
+  The two-level super/cluster walk pays a measured ~2.4us of machinery per
+  cluster visit — independent of the dense-test width (C=128 and C=384
+  measured the same per-visit cost) — dominated by nested while_loop
+  setup/iteration overhead, not ALU.  For scenes with few clusters the
+  flat walk replaces the nested loops with ONE loop over a (NCP, R) slab
+  test done once per tile.  Score recompute per visit is (NCP/8 vregs x
+  ~10 ops) — cheap up to ~1k clusters; bigger scenes keep the hierarchy
+  (see FLAT_MAX_CLUSTERS)."""
+  ray_refs = refs[:7]  # ox oy oz dx dy dz maskf
+  cluf_ref, _clu_unused, tri_ref, t_out_ref, tri_out_ref = refs[7:12]
+  rest = refs[12:]
+  if count_visits:
+      vis_ref, *scratch_refs = rest
+  else:
+      vis_ref, scratch_refs = None, list(rest)
+  tri_scratch, tri_sem = scratch_refs if scratch_refs else (None, None)
+
+  def tile_body(t, _carry):
+    (o_rows, d_rows, inv_rows, ocol, dcol, mask_row, mask_col,
+     _, _) = _ray_views(ray_refs, t)
+
+    tn_c, hit_c = _slab_cols(_box_cols(cluf_ref), o_rows, inv_rows, BIG_T)
+    hit_c = hit_c & mask_row  # (NCP, R)
+    tn_c = jnp.maximum(tn_c, 0.0)
+
+    ncp = cluf_ref.shape[1]
+    clu_iota = jax.lax.broadcasted_iota(jnp.int32, (ncp, 1), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (r, CHUNK), 1)
+
+    def score(cvis, best_row):
+        live = hit_c & (tn_c < best_row)
+        sc = jnp.min(jnp.where(live, tn_c, BIG_T), axis=1, keepdims=True)
+        return jnp.where(cvis > 0.0, BIG_T, sc)
+
+    def visit(st):
+        sc, cvis, best_key, best_base, nvis = st
+        k = jnp.argmin(sc[:, 0])
+        cvis = jnp.maximum(cvis, (clu_iota == k).astype(jnp.float32))
+        # power-of-two alignment witness (c_size is a 128-multiple)
+        base = pl.multiple_of(k * c_size, 128)
+        if tri_scratch is not None:
+            _stream_tri(tri_ref, base, c_size, tri_scratch, tri_sem)
+        acc = jnp.full((r, CHUNK), _INIT_KEY, jnp.int32)
+        for j in range(c_size // CHUNK):  # static unroll, see CHUNK
+            tri = _fetch_tri_chunk(tri_ref, base, j, tri_scratch)
+            tt, _u, _v, hit = _mt_block(ocol, dcol, tri, None)
+            hit = hit & mask_col
+            ti = jax.lax.bitcast_convert_type(tt, jnp.int32)
+            key = (ti & ~IDX_MASK) | (j * CHUNK + lane)
+            acc = jnp.minimum(acc, jnp.where(hit, key, _INIT_KEY))
+        vkey = jnp.min(acc, axis=1, keepdims=True)  # one lane reduce
+        upd = vkey < best_key
+        best_key = jnp.where(upd, vkey, best_key)
+        best_base = jnp.where(upd, base, best_base)
+        return (score(cvis, _key_to_t(best_key).T), cvis, best_key,
+                best_base, nvis + 1.0)
+
+    def cond(st):
+        return jnp.min(st[0]) < BIG_T * 0.5
+
+    cvis0 = jnp.zeros((ncp, 1), jnp.float32)
+    key0 = jnp.full((r, 1), _INIT_KEY, jnp.int32)
+    base0 = jnp.zeros((r, 1), jnp.int32)
+    init = (score(cvis0, _key_to_t(key0).T), cvis0, key0, base0,
+            jnp.zeros((), jnp.float32))
+    _, _, best_key, best_base, nvis = jax.lax.while_loop(cond, visit, init)
+
+    found = best_key < _MISS_KEY
+    t_out_ref[t, 0, :] = _key_to_t(best_key)[:, 0]
+    tri_out_ref[t, 0, :] = jnp.where(
+        found, best_base + (best_key & IDX_MASK), -1)[:, 0]
+    if count_visits:
+        vis_ref[t, 0, :] = jnp.full((r,), 1.0, jnp.float32) * nvis
+    return _carry
+
+  jax.lax.fori_loop(0, tb, tile_body, jnp.int32(0))
+
+
+def _any_flat_kernel(*refs, c_size: int, r: int, tb: int,
+                     count_visits: bool = False):
+  """Single-level any-hit walk; see :func:`_closest_flat_kernel`."""
+  ray_refs = refs[:8]  # ox oy oz dx dy dz maskf tmax
+  cluf_ref, _clu_unused, tri_ref, occ_ref = refs[8:12]
+  rest = refs[12:]
+  if count_visits:
+      vis_ref, *scratch_refs = rest
+  else:
+      vis_ref, scratch_refs = None, list(rest)
+  tri_scratch, tri_sem = scratch_refs if scratch_refs else (None, None)
+
+  def tile_body(t, _carry):
+    (o_rows, d_rows, inv_rows, ocol, dcol, mask_row, mask_col,
+     maxt_row, maxt_col) = _ray_views(ray_refs, t)
+
+    tn_c, hit_c = _slab_cols(_box_cols(cluf_ref), o_rows, inv_rows, maxt_row)
+    hit_c = hit_c & mask_row
+    tn_c = jnp.maximum(tn_c, 0.0)
+
+    ncp = cluf_ref.shape[1]
+    clu_iota = jax.lax.broadcasted_iota(jnp.int32, (ncp, 1), 0)
+
+    def score(cvis, occ_row):
+        live = hit_c & (occ_row < 0.5)
+        sc = jnp.min(jnp.where(live, tn_c, BIG_T), axis=1, keepdims=True)
+        return jnp.where(cvis > 0.0, BIG_T, sc)
+
+    def visit(st):
+        sc, cvis, occ_row, nvis = st
+        k = jnp.argmin(sc[:, 0])
+        cvis = jnp.maximum(cvis, (clu_iota == k).astype(jnp.float32))
+        base = pl.multiple_of(k * c_size, 128)
+        if tri_scratch is not None:
+            _stream_tri(tri_ref, base, c_size, tri_scratch, tri_sem)
+        acc = jnp.zeros((r, CHUNK), jnp.float32)
+        for j in range(c_size // CHUNK):  # static unroll, see CHUNK
+            tri = _fetch_tri_chunk(tri_ref, base, j, tri_scratch)
+            _, _, _, hit = _mt_block(ocol, dcol, tri, maxt_col)
+            acc = jnp.maximum(acc, (hit & mask_col).astype(jnp.float32))
+        newly = jnp.max(acc, axis=1, keepdims=True)  # (R, 1)
+        occ_row = jnp.maximum(occ_row, newly.T)
+        return (score(cvis, occ_row), cvis, occ_row, nvis + 1.0)
+
+    def cond(st):
+        return jnp.min(st[0]) < BIG_T * 0.5
+
+    cvis0 = jnp.zeros((ncp, 1), jnp.float32)
+    occ0 = 1.0 - mask_row.astype(jnp.float32)
+    init = (score(cvis0, occ0), cvis0, occ0, jnp.zeros((), jnp.float32))
+    _, _, occ_row, nvis = jax.lax.while_loop(cond, visit, init)
+    occ_i32 = (occ_row > 0.5).astype(jnp.int32)
+    occ_ref[t, 0, :] = jnp.where(mask_row, occ_i32, 0)[0, :]
+    if count_visits:
+        vis_ref[t, 0, :] = jnp.full((r,), 1.0, jnp.float32) * nvis
+    return _carry
+
+  jax.lax.fori_loop(0, tb, tile_body, jnp.int32(0))
+
+
+# Cluster-count ceiling for the flat single-level kernels: per-visit score
+# recompute and the per-tile (NCP, R) slab both scale with NCP.  Measured
+# on the dragon scene (304 padded clusters): flat 362 vs hierarchical
+# 352 ms/sample — already past the crossover — so only genuinely small
+# scenes take the flat path.
+FLAT_MAX_CLUSTERS = 128
+
+
+def _use_flat(spec: BVHSpec, flat) -> bool:
+    if flat is not None:
+        return bool(flat)
+    s, ns = super_layout(spec)
+    return s * ns <= FLAT_MAX_CLUSTERS
+
+
+def _flat_cluster_planes(clu: jnp.ndarray) -> jnp.ndarray:
+    """(NS, 6, S) per-super cluster planes -> flat (6, NS*S) in global
+    padded-cluster order (pure reshape fused by XLA; done per trace call
+    on a few-KB array)."""
+    return clu.transpose(1, 0, 2).reshape(6, -1)
+
+
 def _should_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
@@ -577,7 +741,7 @@ def recompute_tuv(o, d, rows, eps: float = 1e-20):
 def trace_closest(o, d, mask, sup, clu, tri, spec: BVHSpec,
                   block: int = 128, tiles_per_step: int = 8,
                   stream=None, count_visits: bool = False,
-                  exact_uv: bool = True):
+                  exact_uv: bool = True, flat=None):
     """Closest-hit query via the hierarchical Pallas tracer.
 
     ``sup``/``clu``/``tri`` are the prepacked planes from
@@ -604,9 +768,15 @@ def trace_closest(o, d, mask, sup, clu, tri, spec: BVHSpec,
     if stream:
         tri = jnp.pad(tri, ((0, 16 - N_TRI_PLANES), (0, 0)))
 
-    kernel = functools.partial(_closest_kernel, s_per=s_per,
-                               c_size=spec.cluster_size, r=block, tb=tb,
-                               count_visits=count_visits)
+    if _use_flat(spec, flat):
+        sup = _flat_cluster_planes(clu)  # flat kernels slab ALL clusters
+        kernel = functools.partial(_closest_flat_kernel,
+                                   c_size=spec.cluster_size, r=block, tb=tb,
+                                   count_visits=count_visits)
+    else:
+        kernel = functools.partial(_closest_kernel, s_per=s_per,
+                                   c_size=spec.cluster_size, r=block, tb=tb,
+                                   count_visits=count_visits)
     out_shapes = (
         jax.ShapeDtypeStruct((nb, 1, block), jnp.float32),
         jax.ShapeDtypeStruct((nb, 1, block), jnp.int32),
@@ -646,7 +816,7 @@ def trace_closest(o, d, mask, sup, clu, tri, spec: BVHSpec,
 
 def trace_any(o, d, max_t, mask, sup, clu, tri, spec: BVHSpec,
               block: int = 128, tiles_per_step: int = 8, stream=None,
-              count_visits: bool = False):
+              count_visits: bool = False, flat=None):
     """Any-hit occlusion query via the hierarchical Pallas tracer.
 
     With ``count_visits=True`` returns ``(occluded, (NB,) visits)`` —
@@ -665,9 +835,15 @@ def trace_any(o, d, max_t, mask, sup, clu, tri, spec: BVHSpec,
     if stream:
         tri = jnp.pad(tri, ((0, 16 - N_TRI_PLANES), (0, 0)))
 
-    kernel = functools.partial(_any_kernel, s_per=s_per,
-                               c_size=spec.cluster_size, r=block, tb=tb,
-                               count_visits=count_visits)
+    if _use_flat(spec, flat):
+        sup = _flat_cluster_planes(clu)  # flat kernels slab ALL clusters
+        kernel = functools.partial(_any_flat_kernel,
+                                   c_size=spec.cluster_size, r=block, tb=tb,
+                                   count_visits=count_visits)
+    else:
+        kernel = functools.partial(_any_kernel, s_per=s_per,
+                                   c_size=spec.cluster_size, r=block, tb=tb,
+                                   count_visits=count_visits)
     out_shapes = (jax.ShapeDtypeStruct((nb, 1, block), jnp.int32),)
     out_specs = (pl.BlockSpec((tb, 1, block), lambda i: (i, 0, 0),
                               memory_space=pltpu.VMEM),)

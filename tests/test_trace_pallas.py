@@ -25,13 +25,17 @@ def _rays(n, seed=1):
     return jnp.asarray(o), jnp.asarray(d)
 
 
-def test_pallas_closest_matches_oracle(scene_data):
+@pytest.mark.parametrize("flat", [True, False])
+def test_pallas_closest_matches_oracle(scene_data, flat):
+    """Both the flat single-level and the hierarchical two-level kernels
+    must match the brute-force oracle (the auto threshold would otherwise
+    leave one of them uncovered on small test scenes)."""
     data, spec = scene_data
     o, d = _rays(256)
     mask = jnp.ones((256,), bool)
     ref = T.trace_closest_bruteforce(o, d, mask, data.geometry)
     got = TP.trace_closest(o, d, mask, data.sup_planes, data.clu_planes,
-                           data.tri_planes, spec.bvh, block=128)
+                           data.tri_planes, spec.bvh, block=128, flat=flat)
     hits = np.asarray(ref.tri >= 0)
     np.testing.assert_array_equal(np.asarray(got.tri >= 0), hits)
     np.testing.assert_array_equal(np.asarray(got.tri)[hits],
@@ -42,14 +46,15 @@ def test_pallas_closest_matches_oracle(scene_data):
                                np.asarray(ref.u)[hits], atol=1e-5)
 
 
-def test_pallas_any_matches_oracle(scene_data):
+@pytest.mark.parametrize("flat", [True, False])
+def test_pallas_any_matches_oracle(scene_data, flat):
     data, spec = scene_data
     o, d = _rays(256, seed=3)
     mask = jnp.ones((256,), bool)
     max_t = jnp.full((256,), 4.0)
     ref = T.trace_any_bruteforce(o, d, max_t, mask, data.geometry)
     got = TP.trace_any(o, d, max_t, mask, data.sup_planes, data.clu_planes,
-                       data.tri_planes, spec.bvh, block=128)
+                       data.tri_planes, spec.bvh, block=128, flat=flat)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 

@@ -34,14 +34,15 @@ def built(request):
 
 
 @pytest.mark.parametrize("stream", [False, True])
-def test_closest_matches_oracle_compiled(built, stream):
+@pytest.mark.parametrize("flat", [False, True])
+def test_closest_matches_oracle_compiled(built, stream, flat):
     data, spec = built
     o, d = _rays(256, seed=11)
     mask = jnp.ones((256,), bool)
     ref = T.trace_closest_bruteforce(o, d, mask, data.geometry)
     got = TP.trace_closest(o, d, mask, data.sup_planes, data.clu_planes,
                            data.tri_planes, spec.bvh, block=128,
-                           stream=stream)
+                           stream=stream, flat=flat)
     hits = np.asarray(ref.tri >= 0)
     np.testing.assert_array_equal(np.asarray(got.tri >= 0), hits)
     np.testing.assert_array_equal(np.asarray(got.tri)[hits],
@@ -51,14 +52,16 @@ def test_closest_matches_oracle_compiled(built, stream):
 
 
 @pytest.mark.parametrize("stream", [False, True])
-def test_any_matches_oracle_compiled(built, stream):
+@pytest.mark.parametrize("flat", [False, True])
+def test_any_matches_oracle_compiled(built, stream, flat):
     data, spec = built
     o, d = _rays(256, seed=13)
     mask = jnp.ones((256,), bool)
     max_t = jnp.full((256,), 4.0)
     ref = T.trace_any_bruteforce(o, d, max_t, mask, data.geometry)
     got = TP.trace_any(o, d, max_t, mask, data.sup_planes, data.clu_planes,
-                       data.tri_planes, spec.bvh, block=128, stream=stream)
+                       data.tri_planes, spec.bvh, block=128, stream=stream,
+                       flat=flat)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
