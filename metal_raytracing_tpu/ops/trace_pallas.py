@@ -269,20 +269,28 @@ def _mt_block(ocol, dcol, tri, t_max_col):
 
 def _ray_views(ray_refs, t):
     """Per-tile (1, R) row / (R, 1) column views of the component refs
-    [ox, oy, oz, dx, dy, dz, maskf, (t_max)], each a (tb, R) block."""
-    o_rows = tuple(ray_refs[i][t, :][None, :] for i in range(3))
-    d_rows = tuple(ray_refs[i + 3][t, :][None, :] for i in range(3))
+    [ox, oy, oz, dx, dy, dz, maskf, (t_max)], each a (tb, R) block.
+
+    The column views come from ONE (8, R) -> (R, 8) transpose of the
+    stacked components, then free static lane slices — measured cheaper
+    than 7-8 separate (1, R) -> (R, 1) transposes (the per-block fixed
+    cost is transpose-heavy, see BASELINE.md kernel decomposition)."""
+    nrefs = len(ray_refs)
+    rows = [ray_refs[i][t, :] for i in range(nrefs)]
+    o_rows = tuple(r[None, :] for r in rows[0:3])
+    d_rows = tuple(r[None, :] for r in rows[3:6])
     inv_rows = tuple(_safe_inv_row(dr) for dr in d_rows)
-    ocol = tuple(r.T for r in o_rows)
-    dcol = tuple(r.T for r in d_rows)
-    # Booleans derive from f32 AFTER any transpose — Mosaic cannot transpose
-    # i1 vectors.
-    maskf_row = ray_refs[6][t, :][None, :]
-    mask_row = maskf_row > 0.0
-    mask_col = maskf_row.T > 0.0
-    if len(ray_refs) > 7:
-        maxt_row = ray_refs[7][t, :][None, :]
-        maxt_col = maxt_row.T
+    stacked = jnp.stack(rows + [rows[-1]] * (8 - nrefs), axis=0)  # (8, R)
+    cols = stacked.T  # (R, 8): the single transpose
+    ocol = tuple(cols[:, i:i + 1] for i in range(3))
+    dcol = tuple(cols[:, i:i + 1] for i in range(3, 6))
+    # Booleans derive from f32 AFTER the transpose — Mosaic cannot
+    # transpose i1 vectors.
+    mask_row = rows[6][None, :] > 0.0
+    mask_col = cols[:, 6:7] > 0.0
+    if nrefs > 7:
+        maxt_row = rows[7][None, :]
+        maxt_col = cols[:, 7:8]
     else:
         maxt_row = maxt_col = None
     return (o_rows, d_rows, inv_rows, ocol, dcol, mask_row, mask_col,

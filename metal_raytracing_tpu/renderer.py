@@ -215,6 +215,8 @@ def render_rays(
     cur = jnp.arange(p, dtype=jnp.int32)
     closest_count = jnp.int32(0)
     shadow_count = jnp.int32(0)
+    # previous bounce's hit triangle (for the dir6_cluster sort key)
+    prev_tri = jnp.full((p,), -1, jnp.int32)
 
     for bounce in range(cfg.max_bounces):
         if cfg.compaction and bounce > 0:
@@ -241,18 +243,30 @@ def render_rays(
                     # share a region AND a direction cone.
                     key = (((m >> 21) << 24) | (octant << 21)
                            | (m & 0x1FFFFF))
-                elif cfg.sort_key in ("dir6", "dir9"):
+                elif cfg.sort_key in ("dir6", "dir9", "dir6_cluster"):
                     # finer direction prefix: 2 (dir6) or 3 (dir9) bits per
                     # axis = 64 / 512 cones, then origin Morton.  dir6
                     # measured 391 -> 348 ms/sample over the octant key
                     # once shadow coherence was decoupled (shadow_sort).
-                    bits = 2 if cfg.sort_key == "dir6" else 3
+                    bits = 3 if cfg.sort_key == "dir9" else 2
                     lv = 1 << (bits - 1)
                     q = jnp.clip(((d + 1.0) * lv).astype(jnp.int32),
                                  0, 2 * lv - 1)
                     dirq = ((q[:, 0] << (2 * bits)) | (q[:, 1] << bits)
                             | q[:, 2])
-                    key = (dirq << (30 - 3 * bits)) | (m >> (3 * bits - 3))
+                    if cfg.sort_key == "dir6_cluster":
+                        # geometry-adaptive origin binning: the BVH leaf
+                        # cluster the ray bounced off (same surface patch)
+                        # outranks the Morton grid cell.  Measured WORSE
+                        # than plain dir6 on dragon (353 vs 334 ms) —
+                        # kept as a knob for differently shaped scenes.
+                        clu_bin = jnp.clip(prev_tri, 0, 2**30) \
+                            // spec.bvh.cluster_size
+                        key = ((dirq << 24) | ((clu_bin & 0x3FF) << 14)
+                               | ((m >> 13) & 0x3FFF))
+                    else:
+                        key = ((dirq << (30 - 3 * bits))
+                               | (m >> (3 * bits - 3)))
                 else:  # "dir_major" — measured 22% over origin-major (r1)
                     key = (octant << 27) | m
                 key = jnp.where(alive, key, jnp.int32(2**30))
@@ -296,6 +310,9 @@ def render_rays(
                                color * _env_lookup(data.env_map, d), 0.0)
 
         alive = alive & hit.found  # megakernel's break-on-miss (:246-247)
+        # this bounce's hit triangle keys the NEXT bounce's dir6_cluster
+        # sort (consumed before that sort runs — no need to carry it)
+        prev_tri = hit.tri
         tri = jnp.maximum(hit.tri, 0)
 
         # One row gather fetches the hit triangle's affine normal map,
