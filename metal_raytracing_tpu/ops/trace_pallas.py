@@ -757,6 +757,9 @@ def trace_closest(o, d, mask, sup, clu, tri, spec: BVHSpec,
     With ``count_visits=True`` returns ``(Hit, (NB,) visits)`` — clusters
     visited per ray tile, the traversal-cost telemetry the bench reports.
 
+    ``flat=None`` auto-selects the single-level kernel for scenes with
+    <= FLAT_MAX_CLUSTERS padded clusters (pass True/False to force).
+
     The kernel itself returns (chopped t, triangle id); with
     ``exact_uv=True`` (default) this gathers the winning triangles' plane
     rows and recomputes exact f32 (t, u, v).  The renderer hot path passes
@@ -830,7 +833,8 @@ def trace_any(o, d, max_t, mask, sup, clu, tri, spec: BVHSpec,
     With ``count_visits=True`` returns ``(occluded, (NB,) visits)`` —
     clusters visited per ray tile (occlusion passes must EXHAUST every
     candidate cluster for unoccluded rays, so their visit counts can
-    exceed the closest pass's; the bench telemetry tracks both)."""
+    exceed the closest pass's; the bench telemetry tracks both).
+    ``flat`` as in :func:`trace_closest`."""
     _check_cluster_alignment(spec)
     n = o.shape[0]
     assert n % block == 0, f"ray count {n} not a multiple of block {block}"
