@@ -60,24 +60,14 @@ def main() -> int:
     from metal_raytracing_tpu.renderer import render_sample
 
     if jax.default_backend() == "tpu" or tracer == "pallas":
+        from metal_raytracing_tpu.utils.metrics import visit_percentiles
+
         tcfg = dataclasses.replace(cfg, telemetry=True)
         _, stats = jax.jit(
             lambda d, o: render_sample(d, renderer.spec, tcfg, o,
                                        jnp.int32(0)))(
                 renderer.data, renderer.offsets)
-        vkeys = sorted(k for k in stats if k.startswith("visits_"))
-        if vkeys:
-            prim = np.asarray(stats[vkeys[0]])
-            line["visits_primary_p50_p90"] = [
-                round(float(np.percentile(prim, 50)), 1),
-                round(float(np.percentile(prim, 90)), 1)]
-            if len(vkeys) > 1:
-                b = np.concatenate([np.asarray(stats[k]) for k in vkeys[1:]])
-                b = b[b > 0]
-                if b.size:
-                    line["visits_bounce_p50_p90"] = [
-                        round(float(np.percentile(b, 50)), 1),
-                        round(float(np.percentile(b, 90)), 1)]
+        line.update(visit_percentiles(stats))
     print(json.dumps(line))
     # Diagnostics on stderr (not part of the JSON contract).
     print(

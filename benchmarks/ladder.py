@@ -83,19 +83,9 @@ def bench_config(entry: dict, samples: int, tracer: str) -> dict:
     shadow = [int(stats[f"shadow_b{b}"]) for b in range(cfg.max_bounces)
               if f"shadow_b{b}" in stats]
     row["shadow_fraction_per_bounce"] = [round(s / n_px, 4) for s in shadow]
-    visit_keys = sorted(k for k in stats if k.startswith("visits_"))
-    if visit_keys:
-        prim = np.asarray(stats[visit_keys[0]])
-        row["visits_primary_p50_p90"] = [
-            float(np.percentile(prim, 50)), float(np.percentile(prim, 90))]
-        if len(visit_keys) > 1:
-            bounce = np.concatenate(
-                [np.asarray(stats[k]) for k in visit_keys[1:]])
-            live = bounce[bounce > 0]  # compacted-dead blocks skip traversal
-            if live.size:
-                row["visits_bounce_p50_p90"] = [
-                    float(np.percentile(live, 50)),
-                    float(np.percentile(live, 90))]
+    from metal_raytracing_tpu.utils.metrics import visit_percentiles
+
+    row.update(visit_percentiles(stats))
     return row
 
 

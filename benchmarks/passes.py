@@ -60,12 +60,16 @@ def main() -> int:
         print(json.dumps({"pass": name, "ms": round(ms, 1)}), flush=True)
         return ms
 
-    # --- primary rays, tile-major (same order the pipeline uses)
+    # --- primary rays, tile-major (same order the pipeline uses); offsets
+    # itself stays row-major — render_sample does its own tile flattening
     px, py = R.pixel_coords(cfg)
-    th, tw = R.tile_shape(cfg)
-    px = R._tile_flatten(px.reshape(size, size), th, tw)
-    py = R._tile_flatten(py.reshape(size, size), th, tw)
-    offs = R._tile_flatten(offsets.reshape(size, size), th, tw)
+    tiles = R.tile_shape(cfg)
+    offs = offsets
+    if tiles is not None:  # None: image does not divide into ray-block tiles
+        th, tw = tiles
+        px = R._tile_flatten(px.reshape(size, size), th, tw)
+        py = R._tile_flatten(py.reshape(size, size), th, tw)
+        offs = R._tile_flatten(offsets.reshape(size, size), th, tw)
     import metal_raytracing_tpu.sampling as sampling
 
     idx = offs.astype(jnp.int32)

@@ -82,37 +82,15 @@ def main() -> int:
                 "compile_s": round(res.compile_seconds, 1),
             }
             if args.telemetry:
+                from metal_raytracing_tpu.utils.metrics import (
+                    visit_percentiles)
+
                 tcfg = dataclasses.replace(cfg, telemetry=True)
                 _, stats = jax.jit(
                     lambda d, o: render_sample(d, r.spec, tcfg, o,
                                                jnp.int32(0)))(
                         r.data, r.offsets)
-                vkeys = sorted(k for k in stats if k.startswith("visits_"))
-                prim = np.asarray(stats[vkeys[0]])
-                row["visits_primary_p50_p90"] = [
-                    float(np.percentile(prim, 50)),
-                    float(np.percentile(prim, 90))]
-                if len(vkeys) > 1:
-                    b = np.concatenate(
-                        [np.asarray(stats[k]) for k in vkeys[1:]])
-                    b = b[b > 0]
-                    row["visits_bounce_p50_p90"] = [
-                        float(np.percentile(b, 50)),
-                        float(np.percentile(b, 90))]
-                skeys = sorted(k for k in stats
-                               if k.startswith("shadow_visits_"))
-                if skeys:
-                    sv = np.concatenate(
-                        [np.asarray(stats[k]) for k in skeys])
-                    sv = sv[sv > 0]
-                    row["shadow_visits_p50_p90_mean"] = [
-                        float(np.percentile(sv, 50)),
-                        float(np.percentile(sv, 90)),
-                        float(sv.mean())]
-                    bv = np.concatenate(
-                        [np.asarray(stats[k]) for k in vkeys])
-                    bv = bv[bv > 0]
-                    row["closest_visits_mean"] = float(bv.mean())
+                row.update(visit_percentiles(stats))
             print(json.dumps(row), flush=True)
     return 0
 

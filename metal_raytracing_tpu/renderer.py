@@ -80,6 +80,17 @@ def _expand_bits_9(v: jnp.ndarray) -> jnp.ndarray:
     return v
 
 
+def _morton_512(points: jnp.ndarray, data: SceneData) -> jnp.ndarray:
+    """27-bit Morton codes of points on a 512^3 grid over the root AABB —
+    the shared origin half of both the bounce and shadow sort keys."""
+    root_lo = data.node_lo[0]
+    root_ext = jnp.maximum(data.node_hi[0] - root_lo, 1e-12)
+    q = jnp.clip(((points - root_lo) / root_ext) * 512.0,
+                 0.0, 511.0).astype(jnp.int32)
+    return (_expand_bits_9(q[:, 0]) << 2 | _expand_bits_9(q[:, 1]) << 1
+            | _expand_bits_9(q[:, 2]))
+
+
 def _make_tracers(data: SceneData, spec: SceneSpec, cfg: RenderConfig):
     tracer = cfg.tracer
     if tracer == "auto":
@@ -228,12 +239,7 @@ def render_rays(
                 # Direction-major ordering measured best on the dragon
                 # scene (blocks of near-parallel rays make tight traversal
                 # frustums even when their origins span several tiles).
-                root_lo = data.node_lo[0]
-                root_ext = jnp.maximum(data.node_hi[0] - root_lo, 1e-12)
-                q = jnp.clip(((o - root_lo) / root_ext) * 512.0,
-                             0.0, 511.0).astype(jnp.int32)
-                m = (_expand_bits_9(q[:, 0]) << 2 |
-                     _expand_bits_9(q[:, 1]) << 1 | _expand_bits_9(q[:, 2]))
+                m = _morton_512(o, data)
                 octant = ((d[:, 0] > 0).astype(jnp.int32)
                           + 2 * (d[:, 1] > 0).astype(jnp.int32)
                           + 4 * (d[:, 2] > 0).astype(jnp.int32))
@@ -278,16 +284,19 @@ def render_rays(
             # gathers (TPU gathers are slow; sort networks stream).
             # ``alive`` rides in the key itself (dead rays sort to the
             # 2^30 sentinel) instead of as a 16th operand.
-            # is_stable=False: every per-ray result is independent of block
-            # membership (tracers are exact per ray), and radiance returns
-            # to its pixel through the carried ``cur`` slot — tie order is
-            # free, and unstable multi-operand sorts are cheaper.
+            # Sorted mode uses is_stable=False: every per-ray result is
+            # independent of block membership (tracers are exact per ray)
+            # and radiance returns to its pixel through the carried
+            # ``cur`` slot, so tie order is free and unstable multi-operand
+            # sorts are cheaper.  Partition-only mode keeps is_stable=True:
+            # ALL live keys are equal there, and stability is precisely
+            # what preserves the tile-major coherence that mode exists for.
             s = jax.lax.sort(
                 (key, o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
                  color[:, 0], color[:, 1], color[:, 2],
                  accum[:, 0], accum[:, 1], accum[:, 2],
                  idx, cur),
-                dimension=0, is_stable=False, num_keys=1)
+                dimension=0, is_stable=not cfg.sort_bounces, num_keys=1)
             o = jnp.stack(s[1:4], axis=1)
             d = jnp.stack(s[4:7], axis=1)
             color = jnp.stack(s[7:10], axis=1)
@@ -370,16 +379,16 @@ def render_rays(
             # light), so (light, origin-Morton) alone makes blocks coherent
             # in both.  Measured shadow passes visit MORE clusters than
             # closest passes without this (mean 13.5 vs 9.0, BASELINE.md).
-            root_lo = data.node_lo[0]
-            root_ext = jnp.maximum(data.node_hi[0] - root_lo, 1e-12)
-            q = jnp.clip(((shadow_o - root_lo) / root_ext) * 512.0,
-                         0.0, 511.0).astype(jnp.int32)
-            m = (_expand_bits_9(q[:, 0]) << 2 |
-                 _expand_bits_9(q[:, 1]) << 1 | _expand_bits_9(q[:, 2]))
-            # light index in the top bits (assumes < 16 lights); rays with
-            # no shadow work sort last into whole dead blocks the kernel
-            # exits at fixed cost
-            skey = (light_idx << 27) | m
+            m = _morton_512(shadow_o, data)
+            # light index in the top bits, sized to the static light count
+            # so the key NEVER reaches the 2**30 dead sentinel (a fixed
+            # <<27 shift would collide at >= 8 lights and silently drop
+            # those shadows); rays with no shadow work sort last into
+            # whole dead blocks the kernel exits at fixed cost
+            bits_l = max(1, (lcount - 1).bit_length())
+            shift = 29 - bits_l
+            mm = m if shift >= 27 else (m >> (27 - shift))
+            skey = (light_idx << shift) | mm
             skey = jnp.where(do_shadow, skey, jnp.int32(2**30))
             slot = jnp.arange(p, dtype=jnp.int32)
             ss = jax.lax.sort(

@@ -73,7 +73,7 @@ class SceneData(NamedTuple):
     camera: Camera
     # Prepacked Pallas-kernel layouts (pack_scene_planes): super AABB planes,
     # per-super cluster planes, triangle component planes.
-    sup_planes: jnp.ndarray = None  # (6, 128) f32
+    sup_planes: jnp.ndarray = None  # (6, nsp) f32, nsp = 8-multiple <= 128
     clu_planes: jnp.ndarray = None  # (NS, 6, S) f32
     tri_planes: jnp.ndarray = None  # (12, T) f32
     # Per-triangle shading rows [M(9) m0(3) kd(3) mat_id]: the affine

@@ -115,3 +115,40 @@ def wavefront_stats(data, spec, cfg, offsets) -> Dict[str, object]:
         "total_rays": prev_c + prev_s,
         "rays_per_pixel": (prev_c + prev_s) / n,
     }
+
+
+def visit_percentiles(stats: Dict[str, object]) -> Dict[str, object]:
+    """Clusters-visited percentiles from telemetry render stats.
+
+    Shared by bench.py, benchmarks/ladder.py, and benchmarks/sweep_r2.py so
+    the extraction (and its empty-stats guards) cannot drift between them.
+    Returns {} for non-pallas tracers (no ``visits_*`` keys).  Zero-visit
+    tiles (compacted-dead blocks) are excluded from bounce/shadow stats.
+    """
+    import numpy as np
+
+    out: Dict[str, object] = {}
+    vkeys = sorted(k for k in stats if k.startswith("visits_"))
+    if vkeys:
+        prim = np.asarray(stats[vkeys[0]])
+        out["visits_primary_p50_p90"] = [
+            round(float(np.percentile(prim, 50)), 1),
+            round(float(np.percentile(prim, 90)), 1)]
+        if len(vkeys) > 1:
+            b = np.concatenate([np.asarray(stats[k]) for k in vkeys[1:]])
+            b = b[b > 0]
+            if b.size:
+                out["visits_bounce_p50_p90"] = [
+                    round(float(np.percentile(b, 50)), 1),
+                    round(float(np.percentile(b, 90)), 1)]
+                out["closest_visits_mean"] = round(float(b.mean()), 2)
+    skeys = sorted(k for k in stats if k.startswith("shadow_visits_"))
+    if skeys:
+        sv = np.concatenate([np.asarray(stats[k]) for k in skeys])
+        sv = sv[sv > 0]
+        if sv.size:
+            out["shadow_visits_p50_p90_mean"] = [
+                round(float(np.percentile(sv, 50)), 1),
+                round(float(np.percentile(sv, 90)), 1),
+                round(float(sv.mean()), 2)]
+    return out

@@ -199,3 +199,31 @@ def test_sort_keys_are_pure_permutations(small_scene, key):
                                      sort_key="dir_major")).render(1)
     img = Renderer(small_scene, _cfg(max_bounces=3, sort_key=key)).render(1)
     assert rmse(ref, img) == 0.0
+
+
+def test_shadow_sort_many_lights_no_leak():
+    """Regression: the shadow-sort key packs the light index above the
+    Morton bits sized to the STATIC light count — a fixed <<27 shift
+    collided with the 2**30 dead-ray sentinel at >= 8 lights, silently
+    dropping those lights' shadows (treated as unoccluded)."""
+    import numpy as np
+
+    from metal_raytracing_tpu.scenes import plane_sphere_scene
+    from metal_raytracing_tpu.types import area_light
+
+    def scene_with_lights():
+        s = plane_sphere_scene(48, 48)
+        # add 8 more area lights around the ceiling: 10 total, indices > 7
+        for i in range(8):
+            a = 2.0 * np.pi * i / 8.0
+            s.lights.append(area_light(
+                position=(1.5 * np.cos(a), 1.9, 1.5 * np.sin(a)),
+                forward=(0.0, -1.0, 0.0), right=(0.1, 0.0, 0.0),
+                up=(0.0, 0.0, 0.1), color=(2.0, 2.0, 2.0)))
+        return s
+
+    on = Renderer(scene_with_lights(),
+                  _cfg(max_bounces=2, shadow_sort=True)).render(2)
+    off = Renderer(scene_with_lights(),
+                   _cfg(max_bounces=2, shadow_sort=False)).render(2)
+    assert rmse(on, off) == 0.0
