@@ -18,8 +18,10 @@ Replaces three reference layers at once:
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import List, NamedTuple, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -216,6 +218,46 @@ def subdivide_oversized(v0, e1, e2, n0, n1, n2, mid,
             nb.astype(np.float32), nc.astype(np.float32), mid)
 
 
+@functools.partial(jax.jit, static_argnames=("spec",))
+def _pack_device(geometry: GeometryTable, node_lo, node_hi, base_color, *,
+                 spec: accel.BVHSpec):
+    """The device-compute half of the scene build as ONE jitted function.
+
+    Running these ops eagerly compiled each one separately through the
+    remote-TPU tunnel (~18 s first build per process, measured); a single
+    jitted program compiles once and hits the persistent compilation
+    cache across processes.  Returns (geometry, sup, clu, tri,
+    shade_table) on device."""
+    from .ops.trace_pallas import pack_scene_planes
+
+    geometry = jax.tree.map(jnp.asarray, geometry)
+    sup, clu, tri = pack_scene_planes(
+        geometry, jnp.asarray(node_lo), jnp.asarray(node_hi), spec)
+    kd = base_color[geometry.material_id]
+    # Row layout: [M(9) m0(3) kd(3) mid(1)] — the barycentric corner-normal
+    # interpolation folded into an affine map of the hit POINT:
+    #   ns(p) = M p + m0
+    # with M = (n1-n0) (x) U + (n2-n0) (x) V and m0 = n0 + uw(n1-n0)
+    # + vw(n2-n0), using the Baldwin-Weber barycentric planes u = U.p + uw,
+    # v = V.p + vw (algebraically identical to interpolating with (1-u-v,
+    # u, v), reference: Raytracing.metal:60-73, 266-268).  The renderer
+    # then needs only (t, triangle id) from the tracer — no per-ray u/v —
+    # and the row stays 16 floats wide (TPU row gathers price by width).
+    # M is stored by COLUMN: rows 0:3 multiply p_x, 3:6 p_y, 6:9 p_z.
+    uvec, uw = tri[4:7].T, tri[7][:, None]
+    vvec, vw = tri[8:11].T, tri[11][:, None]
+    bn = geometry.n1 - geometry.n0
+    cn = geometry.n2 - geometry.n0
+    m_cols = [bn * uvec[:, j:j + 1] + cn * vvec[:, j:j + 1]
+              for j in range(3)]
+    m0 = geometry.n0 + uw * bn + vw * cn
+    shade_table = jnp.concatenate(
+        m_cols + [m0, kd,
+                  geometry.material_id[:, None].astype(jnp.float32)],
+        axis=1)
+    return geometry, sup, clu, tri, shade_table
+
+
 def build_scene_data(
     instances: Sequence[Instance],
     lights: Sequence[Light],
@@ -247,48 +289,20 @@ def build_scene_data(
         out[valid] = a[order[valid]]
         return out
 
-    geometry = GeometryTable(
-        v0=jnp.asarray(permute(v0)),
-        e1=jnp.asarray(permute(e1)),
-        e2=jnp.asarray(permute(e2)),
-        n0=jnp.asarray(permute(n0)),
-        n1=jnp.asarray(permute(n1)),
-        n2=jnp.asarray(permute(n2)),
-        material_id=jnp.asarray(permute(mid)),
+    geometry_np = GeometryTable(
+        v0=permute(v0), e1=permute(e1), e2=permute(e2),
+        n0=permute(n0), n1=permute(n1), n2=permute(n2),
+        material_id=permute(mid),
     )
     light_table = pack_lights(list(lights))
     material_table = pack_materials(materials)
-    from .ops.trace_pallas import pack_scene_planes
-
-    node_lo_j = jnp.asarray(node_lo)
-    node_hi_j = jnp.asarray(node_hi)
-    sup, clu, tri = pack_scene_planes(geometry, node_lo_j, node_hi_j, bvh_spec)
-    kd = material_table.base_color[geometry.material_id]
-    # Row layout: [M(9) m0(3) kd(3) mid(1)] — the barycentric corner-normal
-    # interpolation folded into an affine map of the hit POINT:
-    #   ns(p) = M p + m0
-    # with M = (n1-n0) (x) U + (n2-n0) (x) V and m0 = n0 + uw(n1-n0)
-    # + vw(n2-n0), using the Baldwin-Weber barycentric planes u = U.p + uw,
-    # v = V.p + vw (algebraically identical to interpolating with (1-u-v,
-    # u, v), reference: Raytracing.metal:60-73, 266-268).  The renderer
-    # then needs only (t, triangle id) from the tracer — no per-ray u/v —
-    # and the row stays 16 floats wide (TPU row gathers price by width).
-    # M is stored by COLUMN: rows 0:3 multiply p_x, 3:6 p_y, 6:9 p_z.
-    uvec, uw = tri[4:7].T, tri[7][:, None]
-    vvec, vw = tri[8:11].T, tri[11][:, None]
-    bn = geometry.n1 - geometry.n0
-    cn = geometry.n2 - geometry.n0
-    m_cols = [bn * uvec[:, j:j + 1] + cn * vvec[:, j:j + 1]
-              for j in range(3)]
-    m0 = geometry.n0 + uw * bn + vw * cn
-    shade_table = jnp.concatenate(
-        m_cols + [m0, kd,
-                  geometry.material_id[:, None].astype(jnp.float32)],
-        axis=1)
+    geometry, sup, clu, tri, shade_table = _pack_device(
+        geometry_np, node_lo, node_hi, material_table.base_color,
+        spec=bvh_spec)
     data = SceneData(
         geometry=geometry,
-        node_lo=node_lo_j,
-        node_hi=node_hi_j,
+        node_lo=jnp.asarray(node_lo),
+        node_hi=jnp.asarray(node_hi),
         lights=light_table,
         materials=material_table,
         camera=camera,
