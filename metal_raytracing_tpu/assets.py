@@ -65,3 +65,35 @@ def resolve_env_map(name: str = "vulture_hide_4k") -> np.ndarray:
 
             return read_hdr(path)
     return procedural.procedural_env_map()
+
+
+@functools.lru_cache(maxsize=None)
+def load_texture(spec: str) -> np.ndarray:
+    """Decode a Material.texture spec into a (H, W, 3) f32 linear image.
+
+    ``spec`` is an absolute image path (PNG etc., decoded via PIL when
+    available) or a procedural form ``"checker:N"`` (an N x N-cell
+    checkerboard, the no-assets fallback).  Returns values in [0, 1];
+    8-bit images are treated as sRGB and linearized (gamma 2.2), matching
+    how Metal would sample an sRGB ColorMap texture.
+    """
+    if spec.startswith("checker:"):
+        n = max(1, int(spec.split(":", 1)[1]))
+        cells = 2 * n
+        px = 8  # pixels per cell
+        yy, xx = np.mgrid[0:cells * px, 0:cells * px]
+        check = ((yy // px + xx // px) % 2).astype(np.float32)
+        img = np.stack([
+            0.1 + 0.8 * check,               # dark/light squares
+            0.1 + 0.6 * check,
+            0.4 - 0.3 * check,
+        ], axis=-1)
+        return np.clip(img, 0.0, 1.0)
+    try:
+        from PIL import Image
+    except ImportError as e:  # pragma: no cover - PIL is in the base image
+        raise RuntimeError(
+            f"texture {spec!r} needs PIL, which is unavailable") from e
+    with Image.open(spec) as im:
+        arr = np.asarray(im.convert("RGB"), np.float32) / 255.0
+    return arr ** 2.2

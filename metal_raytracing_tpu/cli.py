@@ -53,6 +53,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="enable specular (Ks/Ns) reflection lobes")
     r.add_argument("--emission", action="store_true",
                    help="enable emissive (Ke) materials")
+    r.add_argument("--textures", action="store_true",
+                   help="enable UV-mapped base-color textures (map_Kd)")
     r.add_argument("--no-compaction", action="store_true",
                    help="disable live-ray compaction between bounces")
     r.add_argument("--checkpoint", default=None,
@@ -132,6 +134,7 @@ def cmd_render(args) -> int:
         env_map=args.env_map or scene.env_map is not None,
         enable_specular=args.specular or scene.name == "coatball",
         enable_emission=args.emission,
+        enable_textures=args.textures or scene.name == "uv_test",
         compaction=not args.no_compaction)
 
     t0 = time.perf_counter()

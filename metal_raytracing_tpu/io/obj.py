@@ -77,6 +77,8 @@ def load_mtl(path: str) -> Dict[str, Material]:
     materials: Dict[str, Material] = {}
     cur: Optional[dict] = None
 
+    mtl_dir = os.path.dirname(os.path.abspath(path))
+
     def flush():
         if cur is not None:
             materials[cur["name"]] = Material(
@@ -87,6 +89,7 @@ def load_mtl(path: str) -> Dict[str, Material]:
                 refraction_index=cur["Ni"],
                 dissolve=cur["d"],
                 name=cur["name"],
+                texture=cur["map_Kd"],
             )
 
     with open(path, "r", errors="replace") as f:
@@ -99,7 +102,8 @@ def load_mtl(path: str) -> Dict[str, Material]:
                 flush()
                 cur = dict(name=parts[1] if len(parts) > 1 else "",
                            Kd=(0.0, 0.0, 0.0), Ks=(0.0, 0.0, 0.0),
-                           Ke=(0.0, 0.0, 0.0), Ns=0.0, Ni=0.0, d=1.0)
+                           Ke=(0.0, 0.0, 0.0), Ns=0.0, Ni=0.0, d=1.0,
+                           map_Kd="")
             elif cur is None:
                 continue
             elif key == "Kd":
@@ -114,6 +118,10 @@ def load_mtl(path: str) -> Dict[str, Material]:
                 cur["Ni"] = float(parts[1])
             elif key == "d":
                 cur["d"] = float(parts[1])
+            elif key == "map_Kd" and len(parts) > 1:
+                # last token is the filename (options like -o are ignored);
+                # resolved relative to the MTL file
+                cur["map_Kd"] = os.path.join(mtl_dir, parts[-1])
     flush()
     return materials
 

@@ -310,9 +310,27 @@ def _coatball() -> LoadedModel:
                                           (base, base_p, base_t)])
 
 
+def _uv_test() -> LoadedModel:
+    # Stand-in for Resources/uv_test/uv_test.obj (a UV-mapped object whose
+    # .mtl is absent from the mirror): a unit quad facing +z with [0,1]^2
+    # texcoords and a procedural checkerboard base-color texture.
+    pos = np.array([[-1, 0, 0], [1, 0, 0], [1, 2, 0], [-1, 2, 0]],
+                   np.float32)
+    uv = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+    tris = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    nrm = np.tile(np.array([[0.0, 0.0, 1.0]], np.float32), (4, 1))
+    mat = Material(base_color=(1.0, 1.0, 1.0), name="uv_mat",
+                   texture="checker:8")
+    sub = SubmeshData(material_name="uv_mat", material=mat,
+                      tri_pos_idx=tris, tri_norm_idx=tris, tri_uv_idx=tris)
+    return LoadedModel(name="uv_test", positions=pos, normals=nrm,
+                       texcoords=uv, submeshes=[sub], face_count=2)
+
+
 _REGISTRY: Dict[str, Callable[[], LoadedModel]] = {
     "plane": _plane,
     "plane-back": _plane_back,
+    "uv_test": _uv_test,
     "sphere": _sphere,
     "treefir": _treefir,
     "train": _train,

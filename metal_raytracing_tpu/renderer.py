@@ -345,6 +345,26 @@ def render_rays(
         base_color = row[:, 12:15]
         mid = None  # materialized only for the gated extensions below
 
+        if cfg.enable_textures and spec.has_textures:
+            # Base-color texture modulation (extension; reference parses
+            # texcoords and ships texture assets but never shades them —
+            # SURVEY.md §2d).  uv(p) = A p + b via the per-triangle affine
+            # rows (one 8-wide gather), wrap addressing, nearest sample
+            # with OBJ's bottom-left origin (flip v).
+            uvrow = data.uv_table[tri]
+            u_t = (uvrow[:, 0] * pos[:, 0] + uvrow[:, 2] * pos[:, 1]
+                   + uvrow[:, 4] * pos[:, 2] + uvrow[:, 6])
+            v_t = (uvrow[:, 1] * pos[:, 0] + uvrow[:, 3] * pos[:, 1]
+                   + uvrow[:, 5] * pos[:, 2] + uvrow[:, 7])
+            fu = u_t - jnp.floor(u_t)
+            fv = v_t - jnp.floor(v_t)
+            mid = row[:, 15].astype(jnp.int32)
+            hw = data.tex_hw[mid]  # (N, 2)
+            xi = jnp.clip((fu * hw[:, 1]).astype(jnp.int32), 0, hw[:, 1] - 1)
+            yi = jnp.clip(((1.0 - fv) * hw[:, 0]).astype(jnp.int32),
+                          0, hw[:, 0] - 1)
+            base_color = base_color * data.tex_stack[mid, yi, xi]
+
         if cfg.enable_emission:
             mid = row[:, 15].astype(jnp.int32)
             accum += jnp.where(alive[:, None], color * mats.emission[mid], 0.0)
@@ -539,6 +559,15 @@ class Renderer:
         self.offsets = make_pixel_offsets(cfg)
         self.frame_index = 0
         self.accum = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+        self.ray_totals = jnp.zeros((2,), jnp.float32)
+
+    def reset(self) -> None:
+        """Restart progressive accumulation (zero the average, frame 0) —
+        the analog of the reference's resize/camera-move reset
+        (reference: Renderer.swift:353-355)."""
+        self.frame_index = 0
+        self.accum = jnp.zeros(
+            (self.cfg.height, self.cfg.width, 3), jnp.float32)
         self.ray_totals = jnp.zeros((2,), jnp.float32)
 
     def step(self) -> None:

@@ -84,6 +84,14 @@ class SceneData(NamedTuple):
     # gathers are per-index expensive and price by row width).
     shade_table: jnp.ndarray = None  # (T, 16) f32
     env_map: Optional[jnp.ndarray] = None  # (He, We, 3) f32 lat-long, or None
+    # Texture extension (cfg.enable_textures): per-triangle affine UV map
+    # uv(p) = A p + b packed [A00 A10 A01 A11 A02 A12 b0 b1] (same
+    # derivation as the shade-table normal map), per-material texture
+    # stack padded to common dims, and per-material (h, w).  None when the
+    # scene has no textured material.
+    uv_table: Optional[jnp.ndarray] = None  # (T, 8) f32
+    tex_stack: Optional[jnp.ndarray] = None  # (M, Hm, Wm, 3) f32
+    tex_hw: Optional[jnp.ndarray] = None  # (M, 2) i32
 
 
 @dataclasses.dataclass(frozen=True)
@@ -94,6 +102,7 @@ class SceneSpec:
     light_count: int
     material_count: int
     has_env_map: bool = False
+    has_textures: bool = False
 
 
 @dataclasses.dataclass
@@ -114,17 +123,20 @@ class Instance:
 def flatten_instances(
     instances: Sequence[Instance],
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray,
-           np.ndarray, np.ndarray, List[Material]]:
+           np.ndarray, np.ndarray, List[Material], np.ndarray]:
     """Pre-transform and concatenate all instances into world-space arrays.
 
-    Returns (v0, e1, e2, n0, n1, n2, material_id, materials).  Identical
-    materials are deduplicated across instances and submeshes (the
-    7-instance dragon scene would otherwise carry duplicate plane/sphere
-    materials); the reference keeps one buffer per submesh instead
-    (reference: SubMesh.swift:30) because its table stores pointers.
+    Returns (v0, e1, e2, n0, n1, n2, material_id, materials, uvc) where
+    ``uvc`` is (T, 3, 2) per-corner texcoords (zeros for submeshes without
+    UVs).  Identical materials are deduplicated across instances and
+    submeshes (the 7-instance dragon scene would otherwise carry duplicate
+    plane/sphere materials); the reference keeps one buffer per submesh
+    instead (reference: SubMesh.swift:30) because its table stores
+    pointers.
     """
     v0s, e1s, e2s = [], [], []
     n0s, n1s, n2s = [], [], []
+    uvcs = []
     mids = []
     materials: List[Material] = []
     mat_index: dict = {}  # Material (frozen/hashable) -> table id
@@ -150,11 +162,17 @@ def flatten_instances(
             n0s.append(world_nrm[tn[:, 0]])
             n1s.append(world_nrm[tn[:, 1]])
             n2s.append(world_nrm[tn[:, 2]])
+            tu = getattr(sub, "tri_uv_idx", None)
+            uvsrc = inst.model.texcoords
+            if tu is not None and uvsrc is not None:
+                uvcs.append(uvsrc[tu].astype(np.float32))  # (T, 3, 2)
+            else:
+                uvcs.append(np.zeros((tp.shape[0], 3, 2), np.float32))
             mids.append(np.full(tp.shape[0], mat_id, np.int32))
 
     cat = lambda xs: np.concatenate(xs, axis=0).astype(np.float32)
     return (cat(v0s), cat(e1s), cat(e2s), cat(n0s), cat(n1s), cat(n2s),
-            np.concatenate(mids), materials)
+            np.concatenate(mids), materials, cat(uvcs))
 
 
 def subdivide_oversized(v0, e1, e2, n0, n1, n2, mid,
@@ -258,6 +276,22 @@ def _pack_device(geometry: GeometryTable, node_lo, node_hi, base_color, *,
     return geometry, sup, clu, tri, shade_table
 
 
+@jax.jit
+def _pack_uv_table(uvc, tri):
+    """(T, 3, 2) per-corner texcoords -> (T, 8) affine rows uv(p) = A p + b,
+    by the same Baldwin-Weber plane substitution as the shade-table normal
+    map: A[:, j] = du U[j] + dv V[j], b = uv0 + uw du + vw dv."""
+    uvc = jnp.asarray(uvc)
+    uv0 = uvc[:, 0]
+    du = uvc[:, 1] - uv0  # (T, 2)
+    dv = uvc[:, 2] - uv0
+    uvec, uw = tri[4:7].T, tri[7][:, None]
+    vvec, vw = tri[8:11].T, tri[11][:, None]
+    cols = [du * uvec[:, j:j + 1] + dv * vvec[:, j:j + 1] for j in range(3)]
+    b = uv0 + uw * du + vw * dv
+    return jnp.concatenate(cols + [b], axis=1)
+
+
 def build_scene_data(
     instances: Sequence[Instance],
     lights: Sequence[Light],
@@ -273,10 +307,13 @@ def build_scene_data(
     The one-time host build replacing the reference's blocking GPU
     acceleration-structure round trips (reference: Utilities.swift:29-89).
     """
-    v0, e1, e2, n0, n1, n2, mid, materials = flatten_instances(instances)
+    v0, e1, e2, n0, n1, n2, mid, materials, uvc = flatten_instances(instances)
     if max_edge_frac:
+        # subdivision drops per-corner texcoords (no textured scene uses
+        # it; it is off by default and measured harmful — see docstring)
         v0, e1, e2, n0, n1, n2, mid = subdivide_oversized(
             v0, e1, e2, n0, n1, n2, mid, max_edge_frac=max_edge_frac)
+        uvc = np.zeros((v0.shape[0], 3, 2), np.float32)
     order, node_lo, node_hi, bvh_spec = accel.build_cluster_bvh(
         v0, e1, e2, cluster_size=cluster_size, branching=branching,
         builder=builder)
@@ -299,6 +336,26 @@ def build_scene_data(
     geometry, sup, clu, tri, shade_table = _pack_device(
         geometry_np, node_lo, node_hi, material_table.base_color,
         spec=bvh_spec)
+
+    # Texture extension: stack each textured material's image into one
+    # (M, Hm, Wm, 3) array (padded to common dims; untextured slots stay
+    # 1x1 white) and precompute the (T, 8) affine UV rows.
+    has_textures = any(m.texture for m in materials)
+    uv_table = tex_stack = tex_hw = None
+    if has_textures:
+        from .assets import load_texture
+
+        images = [load_texture(m.texture) if m.texture
+                  else np.ones((1, 1, 3), np.float32) for m in materials]
+        hm = max(im.shape[0] for im in images)
+        wm = max(im.shape[1] for im in images)
+        stack = np.zeros((len(images), hm, wm, 3), np.float32)
+        for i, im in enumerate(images):
+            stack[i, :im.shape[0], :im.shape[1]] = im
+        tex_stack = jnp.asarray(stack)
+        tex_hw = jnp.asarray(
+            [[im.shape[0], im.shape[1]] for im in images], jnp.int32)
+        uv_table = _pack_uv_table(permute(uvc), tri)
     data = SceneData(
         geometry=geometry,
         node_lo=jnp.asarray(node_lo),
@@ -311,12 +368,16 @@ def build_scene_data(
         tri_planes=tri,
         shade_table=shade_table,
         env_map=None if env_map is None else jnp.asarray(env_map, jnp.float32),
+        uv_table=uv_table,
+        tex_stack=tex_stack,
+        tex_hw=tex_hw,
     )
     spec = SceneSpec(
         bvh=bvh_spec,
         light_count=light_table.count,
         material_count=material_table.count,
         has_env_map=env_map is not None,
+        has_textures=has_textures,
     )
     return data, spec
 

@@ -8,4 +8,5 @@ from .library import (  # noqa: F401
     plane_sphere_scene,
     bunny_env_scene,
     teapot_scene,
+    uv_test_scene,
 )

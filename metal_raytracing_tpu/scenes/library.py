@@ -13,7 +13,7 @@ from ..types import area_light, spot_light, sun_light
 
 __all__ = [
     "dragon_scene", "plane_sphere_scene", "teapot_scene", "bunny_env_scene",
-    "coatball_scene", "SCENES", "get_scene",
+    "coatball_scene", "uv_test_scene", "SCENES", "get_scene",
 ]
 
 
@@ -52,6 +52,54 @@ def plane_sphere_scene(width: int = 256, height: int = 256) -> Scene:
                            color=(10.0, 10.0, 10.0))]
     s.add_instance(resolve_model("plane"), position=(0.0, 0.0, 0.0), scale=10.0)
     s.add_instance(resolve_model("sphere"), position=(0.0, 1.0, 1.0), scale=1.0)
+    return s
+
+
+def uv_test_scene(width: int = 256, height: int = 256) -> Scene:
+    """Textured-quad scene for the UV/texture extension (reference ships
+    Resources/uv_test + texture PNGs but never shades them, SURVEY.md §2d).
+
+    When the real ``uv_test.obj`` resolves from disk its material carries
+    no texture (the exporter's .mtl is absent), so the sibling
+    ``uv_test.png`` is attached to every material; the procedural quad
+    stand-in comes with a checkerboard already attached.  Render with
+    ``--textures`` / ``enable_textures=True``.
+
+    Note: the file asset is a building of thin grazing cylinders where
+    the pallas tracer's chopped hit distance (<= 2^-14 relative) consumes
+    a visible fraction of the 1e-3 shadow offset — pallas-vs-bvh RMSE is
+    ~1e-2 on this scene (vs ~1e-4 elsewhere); the exact tracers agree
+    bit-for-bit."""
+    import dataclasses
+    import os
+
+    from ..assets import find_obj
+
+    s = Scene(width, height, default_lights=False)
+    s.name = "uv_test"
+    s.lights = [area_light(position=(0.0, 2.5, 3.5), forward=(0.0, -0.5, -1.0),
+                           right=(1.2, 0.0, 0.0), up=(0.0, 1.2, 0.0),
+                           color=(18.0, 18.0, 18.0))]
+    model = resolve_model("uv_test")
+    path = find_obj("uv_test")
+    if path is not None and any(
+            sub.tri_uv_idx is not None and not sub.material.texture
+            for sub in model.submeshes):
+        png = os.path.join(os.path.dirname(path), "uv_test.png")
+        if os.path.isfile(png):
+            # copy before attaching: resolve_model's result is lru-cached
+            model = dataclasses.replace(model, submeshes=[
+                dataclasses.replace(sub, material=dataclasses.replace(
+                    sub.material, texture=png))
+                for sub in model.submeshes])
+    scale, lo, hi = _fit(model, 2.0)
+    # center the fitted model just above the floor plane
+    mid_xz = (lo + hi) * 0.5 * scale
+    s.add_instance(model,
+                   position=(-mid_xz[0], -lo[1] * scale - 0.7, -mid_xz[2]),
+                   scale=scale)
+    s.add_instance(resolve_model("plane"), position=(0.0, -0.7, 0.0),
+                   scale=8.0)
     return s
 
 
@@ -111,6 +159,7 @@ def coatball_scene(width: int = 1024, height: int = 768) -> Scene:
 SCENES: Dict[str, Callable[..., Scene]] = {
     "dragon": dragon_scene,
     "plane_sphere": plane_sphere_scene,
+    "uv_test": uv_test_scene,
     "teapot": teapot_scene,
     "bunny_env": bunny_env_scene,
     "coatball": coatball_scene,

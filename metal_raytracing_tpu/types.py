@@ -173,6 +173,11 @@ class Material:
     refraction_index: float = 0.0
     dissolve: float = 1.0
     name: str = ""
+    # Base-color texture (extension; the reference parses texcoords and
+    # ships texture assets but never shades them — SURVEY.md §2d): an
+    # absolute image path from MTL ``map_Kd``, or a procedural spec like
+    # ``"checker:8"`` (see assets.load_texture).  Empty = untextured.
+    texture: str = ""
 
 
 class MaterialTable(NamedTuple):
@@ -262,6 +267,9 @@ class RenderConfig:
     # Shade extensions beyond the reference's diffuse-only shading
     enable_specular: bool = False
     enable_emission: bool = False
+    # Base-color textures (UV-mapped map_Kd modulation; the reference
+    # parses texcoords but never shades them — deliberate extension)
+    enable_textures: bool = False
     env_map: bool = False
     # Traversal telemetry: adds per-bounce clusters-visited arrays to the
     # render stats (pallas tracer only; compiles a separate instrumented

@@ -168,7 +168,7 @@ def test_materials_deduplicated_across_instances():
     model = procedural.make_model("sphere")
     scene.add_instance(model, position=(0, 0, 0))
     scene.add_instance(model, position=(2, 0, 0))  # same materials
-    *_, mids, materials = flatten_instances(scene.instances)
+    *_, mids, materials, _uvc = flatten_instances(scene.instances)
     n_unique = len({s.material for s in model.submeshes})
     assert len(materials) == n_unique  # not 2x
     assert mids.max() == len(materials) - 1
@@ -227,3 +227,15 @@ def test_shadow_sort_many_lights_no_leak():
     off = Renderer(scene_with_lights(),
                    _cfg(max_bounces=2, shadow_sort=False)).render(2)
     assert rmse(on, off) == 0.0
+
+
+def test_reset_restarts_accumulation(small_scene):
+    """Renderer.reset() is the resize/accumulation-restart analog
+    (reference Renderer.swift:353-355): after reset, rendering again must
+    reproduce a fresh render exactly."""
+    r = Renderer(small_scene, _cfg())
+    fresh = r.render(2)
+    r.reset()
+    again = r.render(2)
+    assert r.frame_index == 2
+    assert rmse(fresh, again) == 0.0
