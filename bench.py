@@ -1,17 +1,21 @@
-"""Benchmark harness: Mrays/s (primary+shadow) on the dragon scene.
+"""Benchmark harness: Mrays/s (primary+shadow) on the dragon scene + ladder.
 
-Prints ONE JSON line:
+Prints the headline metric as ONE JSON line:
     {"metric": ..., "value": N, "unit": "Mrays/s", "vs_baseline": N}
+followed by one JSON line per additional ladder scene (plane_sphere,
+coatball by default) so the recorded BENCH artifact captures cross-scene
+regressions, not just the dragon headline (VERDICT round 2 #6).
 
 The reference publishes no numbers (SURVEY.md §6); the baseline is the
 north-star target from BASELINE.json: >= 50 Mrays/s sustained on the dragon
 scene at 1024x1024 on one TPU v5e chip.  ``vs_baseline`` is value / 50.
 
 Environment knobs:
-    BENCH_SIZE=1024      image width == height
-    BENCH_SAMPLES=4      timed progressive samples (after 1 warmup)
+    BENCH_SIZE=1024      image width == height (headline scene)
+    BENCH_SAMPLES=3      timed progressive samples (after 1 warmup)
     BENCH_SCENE=dragon
-    BENCH_TRACER=bvh     bvh | pallas | bruteforce
+    BENCH_TRACER=auto    auto | bvh | pallas | bruteforce
+    BENCH_LADDER=plane_sphere,coatball   extra scenes ('' to disable)
 """
 
 from __future__ import annotations
@@ -21,45 +25,41 @@ import os
 import sys
 
 
-def main() -> int:
-    size = int(os.environ.get("BENCH_SIZE", "1024"))
-    samples = int(os.environ.get("BENCH_SAMPLES", "3"))
-    scene_name = os.environ.get("BENCH_SCENE", "dragon")
-    tracer = os.environ.get("BENCH_TRACER", "auto")
+def _bench_scene(scene_name: str, size, samples: int, tracer: str,
+                 telemetry: bool):
+    """One scene's benchmark line (dict).  ``size`` is (w, h)."""
+    import dataclasses
 
-    from metal_raytracing_tpu.utils.cache import enable_compilation_cache
+    import jax
+    import jax.numpy as jnp
 
-    enable_compilation_cache()
-    from metal_raytracing_tpu.renderer import Renderer
+    from metal_raytracing_tpu.renderer import Renderer, render_sample
     from metal_raytracing_tpu.scenes import get_scene
     from metal_raytracing_tpu.types import RenderConfig
     from metal_raytracing_tpu.utils.metrics import benchmark_renderer
 
-    scene = get_scene(scene_name, size, size)
-    cfg = RenderConfig(width=size, height=size, max_bounces=3, tracer=tracer,
-                       ray_block=int(os.environ.get("BENCH_RAY_BLOCK", "128")))
+    w, h = size
+    scene = get_scene(scene_name, w, h)
+    pb = os.environ.get("BENCH_PRIMARY_BLOCK", "")
+    cfg = RenderConfig(
+        width=w, height=h, max_bounces=3, tracer=tracer,
+        ray_block=int(os.environ.get("BENCH_RAY_BLOCK", "128")),
+        primary_ray_block=int(pb) if pb else None,
+        bvh_presplit=float(os.environ.get("BENCH_PRESPLIT", "0.3")))
     renderer = Renderer(scene, cfg)
     result = benchmark_renderer(renderer, samples=samples, warmup=1)
 
     value = result.mrays_per_sec
     line = {
         "metric": (f"Mrays/s primary+shadow, {scene_name} scene "
-                   f"{size}x{size}, tracer={tracer}"),
+                   f"{w}x{h}, tracer={tracer}"),
         "value": round(value, 3),
         "unit": "Mrays/s",
         "vs_baseline": round(value / 50.0, 4),
+        "ms_per_sample": round(result.per_sample_seconds * 1e3, 1),
     }
-
-    # Clusters-visited telemetry (pallas tracer): one instrumented sample.
-    import dataclasses
-
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-
-    from metal_raytracing_tpu.renderer import render_sample
-
-    if jax.default_backend() == "tpu" or tracer == "pallas":
+    if telemetry and (jax.default_backend() == "tpu" or tracer == "pallas"):
+        # Clusters-visited telemetry (pallas tracer): one instrumented sample.
         from metal_raytracing_tpu.utils.metrics import visit_percentiles
 
         tcfg = dataclasses.replace(cfg, telemetry=True)
@@ -68,14 +68,52 @@ def main() -> int:
                                        jnp.int32(0)))(
                 renderer.data, renderer.offsets)
         line.update(visit_percentiles(stats))
-    print(json.dumps(line))
-    # Diagnostics on stderr (not part of the JSON contract).
-    print(
-        f"# {result.rays} rays in {result.seconds:.3f}s over "
-        f"{result.samples} samples; compile+warmup {result.compile_seconds:.1f}s; "
-        f"64spp frame ~= {result.frame_seconds(64):.1f}s; "
-        f"{scene.triangle_count} triangles",
-        file=sys.stderr)
+    diag = (f"# {scene_name}: {result.rays} rays in {result.seconds:.3f}s "
+            f"over {result.samples} samples; compile+warmup "
+            f"{result.compile_seconds:.1f}s; 64spp frame ~= "
+            f"{result.frame_seconds(64):.1f}s; "
+            f"{scene.triangle_count} triangles")
+    return line, diag
+
+
+# Ladder scene shapes (BASELINE.json config ladder; dragon is the headline).
+_LADDER_SIZES = {
+    "plane_sphere": (256, 256),
+    "teapot": (512, 512),
+    "bunny_env": (512, 512),
+    "coatball": (1024, 768),
+    "uv_test": (256, 256),
+}
+
+
+def main() -> int:
+    size = int(os.environ.get("BENCH_SIZE", "1024"))
+    samples = int(os.environ.get("BENCH_SAMPLES", "3"))
+    scene_name = os.environ.get("BENCH_SCENE", "dragon")
+    tracer = os.environ.get("BENCH_TRACER", "auto")
+    ladder = [s for s in os.environ.get(
+        "BENCH_LADDER", "plane_sphere,coatball").split(",") if s]
+
+    from metal_raytracing_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    line, diag = _bench_scene(scene_name, (size, size), samples, tracer,
+                              telemetry=True)
+    print(json.dumps(line), flush=True)
+    print(diag, file=sys.stderr)
+
+    for name in ladder:
+        if name == scene_name:
+            continue
+        try:
+            lsize = _LADDER_SIZES.get(name, (512, 512))
+            lline, ldiag = _bench_scene(name, lsize, samples, tracer,
+                                        telemetry=True)
+            print(json.dumps(lline), flush=True)
+            print(ldiag, file=sys.stderr)
+        except Exception as e:  # a ladder failure must not mask the headline
+            print(f"# ladder scene {name} failed: {e}", file=sys.stderr)
     return 0
 
 

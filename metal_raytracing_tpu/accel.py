@@ -31,7 +31,7 @@ import dataclasses
 import numpy as np
 
 __all__ = ["BVHSpec", "morton_codes_3d", "build_cluster_bvh",
-           "sah_split_order", "median_split_order"]
+           "sah_split_order", "median_split_order", "presplit_references"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -198,6 +198,119 @@ def sah_split_order(
     return out
 
 
+def _clip_polygon_axis(poly: np.ndarray, axis: int, value: float,
+                       keep_below: bool) -> np.ndarray:
+    """Sutherland-Hodgman clip of a convex 3-D polygon against an
+    axis-aligned plane.  ``poly`` is (K, 3) float64; returns the clipped
+    (K', 3) polygon (possibly empty)."""
+    if len(poly) == 0:
+        return poly
+    d = poly[:, axis] - value
+    if not keep_below:
+        d = -d
+    inside = d <= 0.0
+    out = []
+    k = len(poly)
+    for i in range(k):
+        j = (i + 1) % k
+        if inside[i]:
+            out.append(poly[i])
+        if inside[i] != inside[j]:
+            f = d[i] / (d[i] - d[j])
+            out.append(poly[i] + f * (poly[j] - poly[i]))
+    return np.asarray(out).reshape(-1, 3)
+
+
+def presplit_references(
+    v0: np.ndarray,
+    e1: np.ndarray,
+    e2: np.ndarray,
+    tri_lo: np.ndarray,
+    tri_hi: np.ndarray,
+    budget_frac: float = 0.3,
+    stop_area_factor: float = 4.0,
+):
+    """SBVH-style spatial pre-split: oversized triangles become multiple
+    *references* with clipped sub-AABBs (reference DUPLICATION — the
+    triangle itself is never cut, unlike the measured-harmful geometric
+    subdivision, scene.py ``subdivide_oversized``).
+
+    A handful of huge triangles (the reference DragonScene's scale-10
+    ground/back planes, DragonScene.swift:17-22) otherwise force every
+    cluster containing them to span the whole scene, which is exactly the
+    bounce-visit p90 tail (VERDICT round 2 #3).  Greedy loop: repeatedly
+    take the largest-area reference box, clip its polygon at the box's
+    longest-axis midpoint, emit two tight child references.  Stops when
+    the split budget (``budget_frac`` x triangle count extra refs) is
+    spent or the largest box is within ``stop_area_factor`` x the median
+    triangle-box area.
+
+    Correctness does not depend on the clip quality: a reference's dense
+    test evaluates the FULL triangle plane, so any hit it reports is
+    genuine; coverage holds because the union of a triangle's reference
+    boxes contains the whole triangle.  Duplicate references of one
+    source triangle produce identical (t, u, v) — the closest-hit min is
+    idempotent over them.
+
+    Returns ``(src, ref_lo, ref_hi)``: source-triangle index per
+    reference plus the clipped reference AABBs (float64).
+    """
+    import heapq
+
+    t = v0.shape[0]
+    budget = int(t * budget_frac)
+    areas = _surface_area(tri_lo, tri_hi)
+    if budget <= 0 or t < 2:
+        return np.arange(t, dtype=np.int64), tri_lo.copy(), tri_hi.copy()
+    stop_area = float(np.median(areas)) * stop_area_factor
+
+    # refs[i] = (src, lo, hi, polygon); heap orders by -area
+    refs = [(int(i), tri_lo[i].copy(), tri_hi[i].copy(),
+             np.stack([v0[i], v0[i] + e1[i], v0[i] + e2[i]]).astype(
+                 np.float64))
+            for i in range(t)]
+    heap = [(-float(areas[i]), i) for i in range(t)
+            if float(areas[i]) > stop_area]
+    heapq.heapify(heap)
+
+    while heap and budget > 0:
+        neg_area, i = heapq.heappop(heap)
+        if -neg_area <= stop_area:
+            break
+        src, lo, hi, poly = refs[i]
+        axis = int(np.argmax(hi - lo))
+        if hi[axis] - lo[axis] <= 1e-9:
+            continue
+        mid = 0.5 * (lo[axis] + hi[axis])
+        left = _clip_polygon_axis(poly, axis, mid, keep_below=True)
+        right = _clip_polygon_axis(poly, axis, mid, keep_below=False)
+        if len(left) < 3 or len(right) < 3:
+            continue  # degenerate clip: the polygon hugs the plane
+        budget -= 1
+        for k, p in ((i, left), (None, right)):
+            # child box = clipped polygon's AABB, kept inside the parent
+            plo = np.maximum(p.min(axis=0), lo)
+            phi = np.minimum(p.max(axis=0), hi)
+            entry = (src, plo, phi, p)
+            if k is None:
+                refs.append(entry)
+                k = len(refs) - 1
+            else:
+                refs[k] = entry
+            a = float(_surface_area(plo[None], phi[None])[0])
+            if a > stop_area:
+                heapq.heappush(heap, (-a, k))
+
+    src = np.asarray([r[0] for r in refs], np.int64)
+    ref_lo = np.stack([r[1] for r in refs])
+    ref_hi = np.stack([r[2] for r in refs])
+    # Guard the f32 cast downstream: clipped planes are exact in f64, but
+    # the node boxes are stored f32 — inflate by 1 ulp-ish margin so the
+    # boxes still CONTAIN their surface pieces after rounding.
+    pad = np.maximum(ref_hi - ref_lo, 1e-7) * 1e-6
+    return src, ref_lo - pad, ref_hi + pad
+
+
 def build_cluster_bvh(
     v0: np.ndarray,
     e1: np.ndarray,
@@ -205,15 +318,23 @@ def build_cluster_bvh(
     cluster_size: int = 64,
     branching: int = 8,
     builder: str = "sah",
+    presplit: float = 0.0,
 ):
     """Build the cluster BVH over world-space triangles (v0, v0+e1, v0+e2).
 
-    Returns ``(order, node_lo, node_hi, spec)`` where ``order`` is the
-    Morton-sorted triangle permutation (length ``spec.padded_triangles``;
-    padding entries are ``-1``), and ``node_lo``/``node_hi`` are the implicit
-    heap-ordered node AABBs, ``(num_nodes, 3) float32``.  Empty leaf slots
-    (cluster index >= num_clusters) carry inverted AABBs ``[+inf, -inf]`` so
-    traversal can never enter them.
+    Returns ``(order, node_lo, node_hi, spec)`` where ``order`` maps each
+    padded leaf slot to its SOURCE triangle (length
+    ``spec.padded_triangles``; padding entries are ``-1``), and
+    ``node_lo``/``node_hi`` are the implicit heap-ordered node AABBs,
+    ``(num_nodes, 3) float32``.  Empty leaf slots (cluster index >=
+    num_clusters) carry inverted AABBs ``[+inf, -inf]`` so traversal can
+    never enter them.
+
+    ``presplit > 0`` enables SBVH-style spatial pre-splitting
+    (:func:`presplit_references`): ``order`` may then repeat a source
+    triangle (reference duplication), and cluster AABBs bound the CLIPPED
+    reference pieces — tight boxes around huge triangles instead of
+    scene-spanning ones.
     """
     t = int(v0.shape[0])
     if t == 0:
@@ -226,12 +347,21 @@ def build_cluster_bvh(
     p2 = p0 + e2
     tri_lo = np.minimum(np.minimum(p0, p1), p2)
     tri_hi = np.maximum(np.maximum(p0, p1), p2)
-    centroids = (p0 + p1 + p2) / 3.0
 
-    scene_lo = tri_lo.min(axis=0)
-    scene_hi = tri_hi.max(axis=0)
+    if presplit > 0.0:
+        src, ref_lo, ref_hi = presplit_references(
+            p0, e1.astype(np.float64), e2.astype(np.float64),
+            tri_lo, tri_hi, budget_frac=presplit)
+    else:
+        src = np.arange(t, dtype=np.int64)
+        ref_lo, ref_hi = tri_lo, tri_hi
+    n_refs = src.shape[0]
+    centroids = 0.5 * (ref_lo + ref_hi)
+
+    scene_lo = ref_lo.min(axis=0)
+    scene_hi = ref_hi.max(axis=0)
     if builder == "sah":
-        order = sah_split_order(tri_lo, tri_hi,
+        order = sah_split_order(ref_lo, ref_hi,
                                 np.ascontiguousarray(centroids), c)
     elif builder == "median":
         order = median_split_order(np.ascontiguousarray(centroids), c)
@@ -241,16 +371,16 @@ def build_cluster_bvh(
     else:
         raise ValueError(f"unknown builder {builder!r}")
 
-    num_clusters = -(-t // c)
+    num_clusters = -(-n_refs // c)
     padded = num_clusters * c
     order_padded = np.full(padded, -1, np.int64)
-    order_padded[:t] = order
+    order_padded[:n_refs] = src[order]
 
-    # Per-cluster AABBs over the sorted triangles; padding slots are empty.
+    # Per-cluster AABBs over the sorted references; padding slots are empty.
     lo_sorted = np.full((padded, 3), np.inf)
     hi_sorted = np.full((padded, 3), -np.inf)
-    lo_sorted[:t] = tri_lo[order]
-    hi_sorted[:t] = tri_hi[order]
+    lo_sorted[:n_refs] = ref_lo[order]
+    hi_sorted[:n_refs] = ref_hi[order]
     cluster_lo = lo_sorted.reshape(num_clusters, c, 3).min(axis=1)
     cluster_hi = hi_sorted.reshape(num_clusters, c, 3).max(axis=1)
 

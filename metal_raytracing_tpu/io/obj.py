@@ -119,9 +119,20 @@ def load_mtl(path: str) -> Dict[str, Material]:
             elif key == "d":
                 cur["d"] = float(parts[1])
             elif key == "map_Kd" and len(parts) > 1:
-                # last token is the filename (options like -o are ignored);
-                # resolved relative to the MTL file
-                cur["map_Kd"] = os.path.join(mtl_dir, parts[-1])
+                # strip option/value pairs (-o u v w, -mm base gain, ...)
+                # so the remaining tokens are the filename — which may
+                # contain spaces (ADVICE round 2: parts[-1] mis-parsed
+                # both spaced names and value-final options like -mm 0 1)
+                toks = parts[1:]
+                n_vals = {"-blendu": 1, "-blendv": 1, "-cc": 1,
+                          "-clamp": 1, "-texres": 1, "-bm": 1,
+                          "-mm": 2, "-o": 3, "-s": 3, "-t": 3}
+                i = 0
+                while i < len(toks) and toks[i] in n_vals:
+                    i += 1 + n_vals[toks[i]]
+                name = " ".join(toks[i:])
+                if name:
+                    cur["map_Kd"] = os.path.join(mtl_dir, name)
     flush()
     return materials
 

@@ -318,6 +318,27 @@ def _closest_kernel(*refs,
   # Several ray tiles per grid step amortize the ~3.3us fixed grid-step
   # cost (DMA + dispatch) that would otherwise dominate the traversal.
   def tile_body(t, _carry):
+    # Tiles with NO live ray — the compacted-dead suffix after a sort,
+    # fully masked shadow tiles, image padding — skip ALL per-tile fixed
+    # work (transposes, slab tests, loop setup), not just the traversal
+    # loop (VERDICT round 2 #1a).  One lane-reduce of the maskf row the
+    # tile already holds in VMEM decides; no extra inputs, and scattered
+    # dead tiles are caught too.
+    any_live = jnp.max(ray_refs[6][t, :][None, :]) > 0.0
+
+    @pl.when(jnp.logical_not(any_live))
+    def _():
+        t_out_ref[t, 0, :] = jnp.full((r,), BIG_T, jnp.float32)
+        tri_out_ref[t, 0, :] = jnp.full((r,), -1, jnp.int32)
+        if count_visits:
+            vis_ref[t, 0, :] = jnp.zeros((r,), jnp.float32)
+
+    @pl.when(any_live)
+    def _():
+      _live_tile_body(t)
+    return _carry
+
+  def _live_tile_body(t):
     (o_rows, d_rows, inv_rows, ocol, dcol, mask_row, mask_col,
      _, _) = _ray_views(ray_refs, t)
 
@@ -405,7 +426,6 @@ def _closest_kernel(*refs,
         found, best_base + (best_key & IDX_MASK), -1)[:, 0]
     if count_visits:
         vis_ref[t, 0, :] = jnp.full((r,), 1.0, jnp.float32) * nvis
-    return _carry
 
   jax.lax.fori_loop(0, tb, tile_body, jnp.int32(0))
 
@@ -421,6 +441,20 @@ def _any_kernel(*refs, s_per: int, c_size: int, r: int, tb: int,
       vis_ref, scratch_refs = None, list(rest)
   tri_scratch, tri_sem = scratch_refs if scratch_refs else (None, None)
   def tile_body(t, _carry):
+    any_live = jnp.max(ray_refs[6][t, :][None, :]) > 0.0
+
+    @pl.when(jnp.logical_not(any_live))
+    def _():
+        occ_ref[t, 0, :] = jnp.zeros((r,), jnp.int32)
+        if count_visits:
+            vis_ref[t, 0, :] = jnp.zeros((r,), jnp.float32)
+
+    @pl.when(any_live)
+    def _():
+      _live_tile_body(t)
+    return _carry
+
+  def _live_tile_body(t):
     (o_rows, d_rows, inv_rows, ocol, dcol, mask_row, mask_col,
      maxt_row, maxt_col) = _ray_views(ray_refs, t)
 
@@ -496,7 +530,6 @@ def _any_kernel(*refs, s_per: int, c_size: int, r: int, tb: int,
     occ_ref[t, 0, :] = jnp.where(mask_row, occ_i32, 0)[0, :]
     if count_visits:
         vis_ref[t, 0, :] = jnp.full((r,), 1.0, jnp.float32) * nvis
-    return _carry
 
   jax.lax.fori_loop(0, tb, tile_body, jnp.int32(0))
 
@@ -523,6 +556,21 @@ def _closest_flat_kernel(*refs, c_size: int, r: int, tb: int,
   tri_scratch, tri_sem = scratch_refs if scratch_refs else (None, None)
 
   def tile_body(t, _carry):
+    any_live = jnp.max(ray_refs[6][t, :][None, :]) > 0.0
+
+    @pl.when(jnp.logical_not(any_live))
+    def _():
+        t_out_ref[t, 0, :] = jnp.full((r,), BIG_T, jnp.float32)
+        tri_out_ref[t, 0, :] = jnp.full((r,), -1, jnp.int32)
+        if count_visits:
+            vis_ref[t, 0, :] = jnp.zeros((r,), jnp.float32)
+
+    @pl.when(any_live)
+    def _():
+      _live_tile_body(t)
+    return _carry
+
+  def _live_tile_body(t):
     (o_rows, d_rows, inv_rows, ocol, dcol, mask_row, mask_col,
      _, _) = _ray_views(ray_refs, t)
 
@@ -578,7 +626,6 @@ def _closest_flat_kernel(*refs, c_size: int, r: int, tb: int,
         found, best_base + (best_key & IDX_MASK), -1)[:, 0]
     if count_visits:
         vis_ref[t, 0, :] = jnp.full((r,), 1.0, jnp.float32) * nvis
-    return _carry
 
   jax.lax.fori_loop(0, tb, tile_body, jnp.int32(0))
 
@@ -596,6 +643,20 @@ def _any_flat_kernel(*refs, c_size: int, r: int, tb: int,
   tri_scratch, tri_sem = scratch_refs if scratch_refs else (None, None)
 
   def tile_body(t, _carry):
+    any_live = jnp.max(ray_refs[6][t, :][None, :]) > 0.0
+
+    @pl.when(jnp.logical_not(any_live))
+    def _():
+        occ_ref[t, 0, :] = jnp.zeros((r,), jnp.int32)
+        if count_visits:
+            vis_ref[t, 0, :] = jnp.zeros((r,), jnp.float32)
+
+    @pl.when(any_live)
+    def _():
+      _live_tile_body(t)
+    return _carry
+
+  def _live_tile_body(t):
     (o_rows, d_rows, inv_rows, ocol, dcol, mask_row, mask_col,
      maxt_row, maxt_col) = _ray_views(ray_refs, t)
 
@@ -638,7 +699,6 @@ def _any_flat_kernel(*refs, c_size: int, r: int, tb: int,
     occ_ref[t, 0, :] = jnp.where(mask_row, occ_i32, 0)[0, :]
     if count_visits:
         vis_ref[t, 0, :] = jnp.full((r,), 1.0, jnp.float32) * nvis
-    return _carry
 
   jax.lax.fori_loop(0, tb, tile_body, jnp.int32(0))
 
@@ -676,8 +736,8 @@ def _tiles_per_step(nb: int, want: int = 8) -> int:
     return max(tb, 1)
 
 
-def _pallas_trace(kernel, out_shapes, out_specs, ray_comps, sup, clu, tri,
-                  n_steps, tb, block, stream, c_size):
+def _pallas_trace(kernel, out_shapes, out_specs, ray_comps,
+                  sup, clu, tri, n_steps, tb, block, stream, c_size):
     grid_spec = pl.GridSpec(
         grid=(n_steps,),
         in_specs=[
@@ -759,6 +819,11 @@ def trace_closest(o, d, mask, sup, clu, tri, spec: BVHSpec,
 
     ``flat=None`` auto-selects the single-level kernel for scenes with
     <= FLAT_MAX_CLUSTERS padded clusters (pass True/False to force).
+
+    Tiles whose rays are ALL masked off (compacted-dead suffixes after a
+    sort, fully masked shadow tiles, image padding) skip every per-tile
+    cost (transposes, slab tests, loop setup) inside the kernel — one
+    lane-reduce of the maskf row decides.
 
     The kernel itself returns (chopped t, triangle id); with
     ``exact_uv=True`` (default) this gathers the winning triangles' plane

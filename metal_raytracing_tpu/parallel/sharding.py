@@ -186,6 +186,16 @@ class ShardedRenderer(Renderer):
     def total_samples(self) -> int:
         return self.frame_index * self.samples_per_step
 
+    def _set_total_samples(self, total: int) -> None:
+        """Checkpoints store total SAMPLES (the portable progress unit);
+        a sharded renderer can only resume at a whole-step boundary."""
+        if total % self.samples_per_step:
+            raise ValueError(
+                f"checkpoint holds {total} samples, not a multiple of this "
+                f"mesh's {self.samples_per_step} samples/step — resume in a "
+                f"plain Renderer or on a matching mesh")
+        self.frame_index = total // self.samples_per_step
+
     def render(self, spp: Optional[int] = None):
         """Render until ``spp`` total samples have been accumulated."""
         spp = self.cfg.spp if spp is None else spp

@@ -92,38 +92,63 @@ def _morton_512(points: jnp.ndarray, data: SceneData) -> jnp.ndarray:
 
 
 def _make_tracers(data: SceneData, spec: SceneSpec, cfg: RenderConfig):
+    """Tracer pair with a uniform call surface.
+
+    Both return callables taking ``(o, d, [max_t,] mask)`` plus a
+    pallas-only perf kwarg the exact tracers ignore: ``block`` (per-pass
+    traversal block size override — primaries use the larger
+    cfg.primary_ray_block; fully masked tiles are skipped inside the
+    kernel from the mask itself)."""
     tracer = cfg.tracer
     if tracer == "auto":
         tracer = "pallas" if jax.default_backend() == "tpu" else "bvh"
     cfg = dataclasses.replace(cfg, tracer=tracer)
     if cfg.tracer == "bruteforce":
-        closest = functools.partial(
+        closest_p = functools.partial(
             trace_ops.trace_closest_bruteforce, geometry=data.geometry)
-        any_hit = functools.partial(
+        any_p = functools.partial(
             trace_ops.trace_any_bruteforce, geometry=data.geometry)
+
+        def closest(o, d, m, block=None):
+            return closest_p(o, d, m)
+
+        def any_hit(o, d, mt, m, block=None):
+            return any_p(o, d, mt, m)
     elif cfg.tracer == "bvh":
-        closest = functools.partial(
+        closest_p = functools.partial(
             trace_ops.trace_closest, geometry=data.geometry,
             node_lo=data.node_lo, node_hi=data.node_hi, spec=spec.bvh,
             block=cfg.ray_block)
-        any_hit = functools.partial(
+        any_p = functools.partial(
             trace_ops.trace_any, geometry=data.geometry,
             node_lo=data.node_lo, node_hi=data.node_hi, spec=spec.bvh,
             block=cfg.ray_block)
+
+        def closest(o, d, m, block=None):
+            return closest_p(o, d, m)
+
+        def any_hit(o, d, mt, m, block=None):
+            return any_p(o, d, mt, m)
     elif cfg.tracer == "pallas":
         from .ops import trace_pallas
 
-        closest = functools.partial(
+        closest_p = functools.partial(
             trace_pallas.trace_closest, sup=data.sup_planes,
             clu=data.clu_planes, tri=data.tri_planes, spec=spec.bvh,
-            block=cfg.ray_block, count_visits=cfg.telemetry,
-            # the renderer recomputes exact (t, u, v) from the shade-row
-            # gather it pays anyway — skip the tracer's own plane gather
+            count_visits=cfg.telemetry,
+            # the renderer recomputes exact t from the shade-row gather it
+            # pays anyway — skip the tracer's own plane gather
             exact_uv=False)
-        any_hit = functools.partial(
+        any_p = functools.partial(
             trace_pallas.trace_any, sup=data.sup_planes,
             clu=data.clu_planes, tri=data.tri_planes, spec=spec.bvh,
-            block=cfg.ray_block, count_visits=cfg.telemetry)
+            count_visits=cfg.telemetry)
+
+        def closest(o, d, m, block=None):
+            return closest_p(o, d, m, block=block or cfg.ray_block)
+
+        def any_hit(o, d, mt, m, block=None):
+            return any_p(o, d, mt, m, block=block or cfg.ray_block)
     else:
         raise ValueError(f"unknown tracer {cfg.tracer!r}")
     return closest, any_hit, cfg.tracer
@@ -145,8 +170,11 @@ _TILE_SHAPES = {64: (8, 8), 128: (8, 16), 256: (16, 16), 512: (16, 32),
 
 
 def tile_shape(cfg: RenderConfig) -> Optional[Tuple[int, int]]:
-    """(tile_h, tile_w) when the image divides evenly, else None."""
-    th_tw = _TILE_SHAPES.get(cfg.ray_block)
+    """(tile_h, tile_w) when the image divides evenly, else None.
+
+    Tiles are sized to the PRIMARY traversal block: only the primary pass
+    pair consumes the pixel order directly (bounce passes re-sort)."""
+    th_tw = _TILE_SHAPES.get(cfg.primary_ray_block or cfg.ray_block)
     if th_tw is None:
         return None
     th, tw = th_tw
@@ -193,7 +221,12 @@ def render_rays(
     w, h = cfg.width, cfg.height
     n = px.shape[0]
     block = cfg.ray_block
-    p = -(-n // block) * block  # rays padded to a block multiple
+    pblock = cfg.primary_ray_block or block
+    # rays padded to a multiple of BOTH block sizes
+    import math
+
+    pad_to = block * pblock // math.gcd(block, pblock)
+    p = -(-n // pad_to) * pad_to
     lcount = spec.light_count
 
     pad = p - n
@@ -305,11 +338,16 @@ def render_rays(
             alive = s[0] < jnp.int32(2**30)
             cur = s[14]
 
-        closest_count += jnp.sum(alive.astype(jnp.int32))
+        n_alive = jnp.sum(alive.astype(jnp.int32))
+        closest_count += n_alive
         if cfg.telemetry:
             # per-bounce occupancy: live rays entering this bounce
-            tele_stats[f"live_b{bounce}"] = jnp.sum(alive.astype(jnp.int32))
-        hit = closest_fn(o, d, alive)
+            tele_stats[f"live_b{bounce}"] = n_alive
+        # Fully dead tiles (the compacted suffix after a bounce sort,
+        # image padding) are skipped inside the pallas kernel from the
+        # mask itself at ~zero cost.
+        hit = closest_fn(o, d, alive,
+                         block=pblock if bounce == 0 else None)
         if cfg.telemetry and tracer_kind == "pallas":
             hit, tele_stats[f"visits_b{bounce}"] = hit
 
@@ -328,12 +366,23 @@ def render_rays(
         # albedo, and material id together (separate gathers would each pay
         # the TPU per-index gather cost).
         row = data.shade_table[tri]
+        if tracer_kind == "pallas":
+            # The pallas kernel's packed key chops t to <= 512 ulp (2^-14
+            # relative) — enough to eat into the absolute 1e-3 shadow offset
+            # on thin grazing geometry (uv_test building, VERDICT r2 #4).
+            # Recompute the EXACT hit distance from the winning triangle's
+            # geometric plane [n, n.v0], carried in the shade row the pass
+            # gathers anyway: t = (n.v0 - n.o) / (n.d).
+            nrow = row[:, 16:19]
+            den = jnp.sum(nrow * d, axis=-1)
+            num = row[:, 19] - jnp.sum(nrow * o, axis=-1)
+            t_hit = num / jnp.where(jnp.abs(den) < 1e-20,
+                                    jnp.where(den < 0, -1e-20, 1e-20), den)
+        else:
+            t_hit = hit.t
         # Dead lanes keep pos = o: a BIG_T miss distance would overflow the
         # light-distance math into inf*0 NaNs (masked but trips debug_nans).
-        # For the pallas tracer hit.t is a <= 512-ulp (2^-14 relative)
-        # underestimate — far below the 1e-3 surface offsets and invisible
-        # against the parity budget; exact tracers pass exact t through.
-        pos = o + d * jnp.where(alive, hit.t, 0.0)[:, None]
+        pos = o + d * jnp.where(alive, t_hit, 0.0)[:, None]
         # Barycentric vertex-normal interpolation as an affine map of the
         # hit point, ns = M pos + m0 (see scene.py shade_table — identical
         # to weights (1-u-v, u, v) on corners, matching
@@ -384,10 +433,10 @@ def render_rays(
         dcolor = jnp.where(alive[:, None], color * base_color, color)
 
         do_shadow = alive & (jnp.linalg.norm(lcolor, axis=-1) > 1e-4)  # :341
-        shadow_count += jnp.sum(do_shadow.astype(jnp.int32))
+        n_shadow = jnp.sum(do_shadow.astype(jnp.int32))
+        shadow_count += n_shadow
         if cfg.telemetry:
-            tele_stats[f"shadow_b{bounce}"] = jnp.sum(
-                do_shadow.astype(jnp.int32))
+            tele_stats[f"shadow_b{bounce}"] = n_shadow
         shadow_o = pos + ns * 1e-3  # :350
         sdist = ls.distance - 1e-3
         if cfg.shadow_sort and cfg.compaction and (
@@ -428,7 +477,8 @@ def render_rays(
             u = jax.lax.sort(packed, dimension=0, is_stable=False)
             occluded = (u & 1) > 0
         else:
-            occluded = any_fn(shadow_o, ls.direction, sdist, do_shadow)
+            occluded = any_fn(shadow_o, ls.direction, sdist, do_shadow,
+                              block=pblock if bounce == 0 else None)
             if cfg.telemetry and tracer_kind == "pallas":
                 occluded, tele_stats[f"shadow_visits_b{bounce}"] = occluded
         visible = do_shadow & ~occluded
@@ -555,7 +605,8 @@ class Renderer:
         self.scene = scene
         self.cfg = cfg
         self.data, self.spec = scene.build(
-            cluster_size=cfg.cluster_size, builder=cfg.bvh_builder)
+            cluster_size=cfg.cluster_size, builder=cfg.bvh_builder,
+            presplit=cfg.bvh_presplit)
         self.offsets = make_pixel_offsets(cfg)
         self.frame_index = 0
         self.accum = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
@@ -615,10 +666,23 @@ class Renderer:
 
         return hashlib.sha1(s.encode()).hexdigest()[:16]
 
+    @property
+    def total_samples(self) -> int:
+        """Samples folded into ``accum`` so far.  The plain renderer folds
+        one per step; ``ShardedRenderer`` overrides (one step = one sample
+        per device on the spp axis).  This — not the step counter — is the
+        portable progress unit checkpoints store, so a checkpoint written
+        by a sharded renderer resumes correctly in a plain one and vice
+        versa (VERDICT round 2 #8)."""
+        return self.frame_index
+
+    def _set_total_samples(self, total: int) -> None:
+        self.frame_index = int(total)
+
     def state_dict(self) -> dict:
         return {
             "accum": np.asarray(self.accum),
-            "frame_index": self.frame_index,
+            "total_samples": self.total_samples,
             "seed": self.cfg.seed,
             "fingerprint": self.fingerprint(),
             "total_closest_rays": self.total_closest_rays,
@@ -636,8 +700,12 @@ class Renderer:
                 raise ValueError(
                     "checkpoint scene/config fingerprint does not match: "
                     f"checkpoint {got}, this renderer {self.fingerprint()}")
+        if "total_samples" in state:
+            total = int(state["total_samples"])
+        else:  # round-2 checkpoints: the plain renderer's step == sample
+            total = int(state["frame_index"])
         self.accum = jnp.asarray(state["accum"], jnp.float32)
-        self.frame_index = int(state["frame_index"])
+        self._set_total_samples(total)
         self.ray_totals = jnp.asarray(
             [float(state.get("total_closest_rays", 0)),
              float(state.get("total_shadow_rays", 0))], jnp.float32)

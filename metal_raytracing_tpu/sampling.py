@@ -26,7 +26,28 @@ PRIMES = np.array([
 # Halton indices are offset + frame_index where offset < 2^20
 # (reference: Renderer.swift:263-270) and frame_index is bounded by the sample
 # count; 2^26 gives generous headroom for the digit-count bound below.
-_MAX_INDEX = 1 << 26
+_MAX_INDEX_BITS = 26
+_MAX_INDEX = 1 << _MAX_INDEX_BITS
+
+
+def _halton_base2(i: jnp.ndarray) -> jnp.ndarray:
+    """Base-2 radical inverse = bit reversal: ~15 cheap int ops instead of
+    26 digit-loop iterations (each with a magic-number divide).
+
+    For i < 2^24 this is BIT-EXACT with the reference's sequential f32
+    accumulation (every partial sum spans <= 24 mantissa bits, so no add
+    ever rounds — and all real render indices are < 2^21: offsets are
+    capped at 2^20 plus a bounded frame index).  Past 2^24 the single
+    final rounding can differ from the loop's per-add rounding by 1 ulp
+    (~6e-8), far inside every parity budget."""
+    v = i.astype(jnp.uint32)
+    v = ((v & 0x55555555) << 1) | ((v >> 1) & 0x55555555)
+    v = ((v & 0x33333333) << 2) | ((v >> 2) & 0x33333333)
+    v = ((v & 0x0F0F0F0F) << 4) | ((v >> 4) & 0x0F0F0F0F)
+    v = ((v & 0x00FF00FF) << 8) | ((v >> 8) & 0x00FF00FF)
+    v = (v << 16) | (v >> 16)
+    v = v >> (32 - _MAX_INDEX_BITS)
+    return v.astype(jnp.float32) * jnp.float32(2.0 ** -_MAX_INDEX_BITS)
 
 
 def halton(i: jnp.ndarray, d: int) -> jnp.ndarray:
@@ -36,11 +57,14 @@ def halton(i: jnp.ndarray, d: int) -> jnp.ndarray:
     (reference: Raytracing.metal:41-56): float32 accumulation, f *= 1/b per
     digit.  The reference's data-dependent ``while (i > 0)`` becomes a fixed
     digit count — extra iterations contribute f * 0 and leave the result
-    bit-identical.
+    bit-identical.  Base 2 (pixel-jitter x, the most-iterated base) takes
+    the exact bit-reversal fast path.
     """
     b = int(PRIMES[d])
-    n_digits = int(np.ceil(np.log(_MAX_INDEX) / np.log(b)))
     i = i.astype(jnp.int32)
+    if b == 2:
+        return _halton_base2(i)
+    n_digits = int(np.ceil(np.log(_MAX_INDEX) / np.log(b)))
     inv_b = jnp.float32(1.0) / jnp.float32(b)
     f = jnp.full(i.shape, 1.0, jnp.float32)
     r = jnp.zeros(i.shape, jnp.float32)
@@ -100,7 +124,15 @@ def align_hemisphere_with_normal(sample: jnp.ndarray,
 
 def pixel_decorrelation_offsets(key, shape, bits: int = 20) -> jnp.ndarray:
     """Per-pixel random Halton index offsets — the reference fills an r32Uint
-    texture with ``arc4random() % (1 << 20)`` (reference: Renderer.swift:249-274)."""
+    texture with ``arc4random() % (1 << 20)`` (reference: Renderer.swift:249-274).
+
+    ``bits`` must leave headroom under ``_MAX_INDEX`` (offset + frame
+    index): the fixed digit counts silently drop digits past it."""
     import jax
 
+    if bits > 22:
+        raise ValueError(
+            f"rand_offset_bits {bits} leaves no frame-index headroom under "
+            f"the Halton digit bound 2^{_MAX_INDEX_BITS} (and would break "
+            f"the exact base-2 bit-reversal past 2^24)")
     return jax.random.randint(key, shape, 0, 1 << bits, dtype=jnp.int32)

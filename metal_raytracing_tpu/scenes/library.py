@@ -65,11 +65,12 @@ def uv_test_scene(width: int = 256, height: int = 256) -> Scene:
     stand-in comes with a checkerboard already attached.  Render with
     ``--textures`` / ``enable_textures=True``.
 
-    Note: the file asset is a building of thin grazing cylinders where
-    the pallas tracer's chopped hit distance (<= 2^-14 relative) consumes
-    a visible fraction of the 1e-3 shadow offset — pallas-vs-bvh RMSE is
-    ~1e-2 on this scene (vs ~1e-4 elsewhere); the exact tracers agree
-    bit-for-bit."""
+    The file asset is a building of thin grazing cylinders — the scene
+    that exposed the pallas tracer's chopped hit distance (<= 2^-14
+    relative) eating into the 1e-3 shadow offset.  The renderer now
+    recomputes the exact t from the winning triangle's plane row (carried
+    in the shade table), so pallas-vs-bvh parity holds at < 1e-3 here like
+    everywhere else (tests/test_trace_pallas.py::test_pallas_uv_test_parity)."""
     import dataclasses
     import os
 

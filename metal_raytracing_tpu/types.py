@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import enum
-from typing import NamedTuple, Sequence
+from typing import NamedTuple, Optional, Sequence
 
 import jax.numpy as jnp
 import numpy as np
@@ -237,7 +237,19 @@ class RenderConfig:
     # Leaf clustering strategy: "sah" (binned surface-area heuristic,
     # fewest clusters visited) | "median" | "morton"
     bvh_builder: str = "sah"
-    ray_block: int = 128  # rays per traversal block
+    # SBVH-style spatial pre-split budget (extra references as a fraction
+    # of the triangle count; 0 disables).  Huge triangles (the scale-10
+    # ground planes) are split into multiple clipped references so cluster
+    # AABBs stay tight — directly attacks the bounce-visit p90 tail.
+    bvh_presplit: float = 0.3
+    ray_block: int = 128  # rays per traversal block (bounce passes)
+    # Traversal block for the PRIMARY pass pair (camera rays + bounce-0
+    # shadows).  Primary blocks are near-perfectly coherent (visits p90 ~4),
+    # so their cost is dominated by the fixed per-block kernel machinery —
+    # larger blocks amortize it without multiplying visits the way they do
+    # for incoherent bounce rays (where ray_block=256 measured worse).
+    # None = use ray_block.
+    primary_ray_block: Optional[int] = None
     # Wavefront compaction: permute rays so live rays pack into full
     # traversal blocks between bounces (the realized version of the
     # reference's dead bitonic-sort divergence experiment,

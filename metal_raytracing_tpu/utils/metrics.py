@@ -141,7 +141,9 @@ def visit_percentiles(stats: Dict[str, object]) -> Dict[str, object]:
                 out["visits_bounce_p50_p90"] = [
                     round(float(np.percentile(b, 50)), 1),
                     round(float(np.percentile(b, 90)), 1)]
-                out["closest_visits_mean"] = round(float(b.mean()), 2)
+                # bounce passes only (vkeys[1:] — primaries excluded);
+                # named accordingly (VERDICT round 2 #7)
+                out["bounce_visits_mean"] = round(float(b.mean()), 2)
     skeys = sorted(k for k in stats if k.startswith("shadow_visits_"))
     if skeys:
         sv = np.concatenate([np.asarray(stats[k]) for k in skeys])

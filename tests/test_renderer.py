@@ -193,12 +193,16 @@ def test_shadow_sort_is_pure_permutation(small_scene):
 @pytest.mark.parametrize("key", ["dir_major", "hybrid", "dir6", "dir9"])
 def test_sort_keys_are_pure_permutations(small_scene, key):
     """Every bounce sort-key layout reorders traversal blocks only — the
-    image must be bit-identical across keys (per-ray results are
-    independent of block membership)."""
+    image must match across keys (per-ray results are independent of
+    block membership).  Tolerance, not exact zero: on the pallas tracer a
+    512-ulp t TIE between coincident triangles can in principle resolve
+    to a different (identically shaded, but distinct) winner depending on
+    block composition (ADVICE round 2 #4); on exact tracers the images
+    are in fact bit-identical."""
     ref = Renderer(small_scene, _cfg(max_bounces=3,
                                      sort_key="dir_major")).render(1)
     img = Renderer(small_scene, _cfg(max_bounces=3, sort_key=key)).render(1)
-    assert rmse(ref, img) == 0.0
+    assert rmse(ref, img) < 1e-7
 
 
 def test_shadow_sort_many_lights_no_leak():

