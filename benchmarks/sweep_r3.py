@@ -1,0 +1,105 @@
+"""Round-3 perf sweep: dead-tile skip + presplit + primary block size.
+
+Times the dragon 1024x1024 3-bounce pipeline across the round-3 config
+variants in ONE process (shared tunnel setup; per-config jit compiles hit
+the persistent cache on reruns).  Prints one JSON line per variant.
+
+    python benchmarks/sweep_r3.py [--size 1024] [--samples 2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=1024)
+    ap.add_argument("--scene", default="dragon")
+    ap.add_argument("--samples", type=int, default=2)
+    ap.add_argument("--variants", default="")
+    args = ap.parse_args()
+
+    from metal_raytracing_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from metal_raytracing_tpu import renderer as R
+    from metal_raytracing_tpu.scenes import get_scene
+    from metal_raytracing_tpu.types import RenderConfig
+    from metal_raytracing_tpu.utils.profiling import sync
+
+    size = args.size
+    base = RenderConfig(width=size, height=size, max_bounces=3,
+                        tracer="pallas", ray_block=128)
+
+    # (name, cfg overrides) — scene rebuilds when presplit/cluster differ.
+    variants = [
+        ("r2_noflags", dict(bvh_presplit=0.0)),
+        ("presplit03", dict(bvh_presplit=0.3)),
+        ("presplit03_pb512", dict(bvh_presplit=0.3, primary_ray_block=512)),
+        ("presplit03_pb256", dict(bvh_presplit=0.3, primary_ray_block=256)),
+        ("presplit06", dict(bvh_presplit=0.6)),
+        ("c256", dict(cluster_size=256)),
+        ("c512", dict(cluster_size=512)),
+        ("pb1024", dict(primary_ray_block=1024)),
+        ("bounce256", dict(ray_block=256)),
+    ]
+    if args.variants:
+        keep = set(args.variants.split(","))
+        variants = [v for v in variants if v[0] in keep]
+
+    scene = get_scene(args.scene, size, size)
+    built = {}  # (presplit, cluster_size) -> (data, spec)
+
+    for name, over in variants:
+        cfg = dataclasses.replace(base, **over)
+        key = (cfg.bvh_presplit, cfg.cluster_size)
+        if key not in built:
+            built[key] = scene.build(cluster_size=cfg.cluster_size,
+                                     builder=cfg.bvh_builder,
+                                     presplit=cfg.bvh_presplit)
+        data, spec = built[key]
+        offsets = R.make_pixel_offsets(cfg)
+
+        f = jax.jit(lambda d, o, i: R.render_sample(d, spec, cfg, o, i)[0])
+        t0 = time.perf_counter()
+        sync(f(data, offsets, jnp.int32(0)))
+        compile_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for k in range(args.samples):
+            out = f(data, offsets, jnp.int32(k + 1))
+        sync(out)
+        ms = (time.perf_counter() - t0) / args.samples * 1e3
+        line = {"variant": name, "ms_per_sample": round(ms, 1),
+                "compile_s": round(compile_s, 1),
+                "padded_tris": spec.bvh.padded_triangles,
+                "clusters": spec.bvh.num_clusters}
+        # one telemetry sample for visit stats
+        try:
+            tcfg = dataclasses.replace(cfg, telemetry=True)
+            _, stats = jax.jit(
+                lambda d, o: R.render_sample(d, spec, tcfg, o, jnp.int32(0)))(
+                    data, offsets)
+            from metal_raytracing_tpu.utils.metrics import visit_percentiles
+
+            line.update(visit_percentiles(stats))
+        except Exception as e:
+            line["telemetry_error"] = str(e)[:120]
+        print(json.dumps(line), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

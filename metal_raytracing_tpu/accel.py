@@ -40,13 +40,26 @@ class BVHSpec:
     reference's function-constant specialization (Renderer.swift:87-94)."""
 
     num_triangles: int  # real triangles (pre-padding)
-    padded_triangles: int  # num_clusters * cluster_size
+    padded_triangles: int  # num_clusters * cluster_size + padded_global
     cluster_size: int  # triangles per leaf cluster
     num_clusters: int  # real clusters
     branching: int  # tree fan-out B
     levels: int  # tree depth (0 => root is the only leaf)
     num_nodes: int  # total implicit nodes
     first_leaf: int  # index of first leaf node in heap order
+    # GLOBAL set: the few scene-spanning triangles (the scale-10 ground /
+    # back planes) are pulled OUT of the clusters — any cluster holding
+    # one inherits a scene-sized AABB that nearly every ray visits.  They
+    # occupy dedicated slots at the END of the padded tables and are
+    # dense-tested once per ray tile BEFORE traversal, which also seeds
+    # the closest-hit distance for tighter cluster culling.
+    num_global: int = 0  # real global triangles
+    padded_global: int = 0  # global slots (128-multiple, 0 when none)
+
+    @property
+    def global_base(self) -> int:
+        """First global slot = end of the clustered slot region."""
+        return self.num_clusters * self.cluster_size
 
     @property
     def max_stack(self) -> int:
@@ -319,6 +332,8 @@ def build_cluster_bvh(
     branching: int = 8,
     builder: str = "sah",
     presplit: float = 0.0,
+    global_sa_frac: float = 0.02,
+    max_global: int = 128,
 ):
     """Build the cluster BVH over world-space triangles (v0, v0+e1, v0+e2).
 
@@ -334,7 +349,16 @@ def build_cluster_bvh(
     (:func:`presplit_references`): ``order`` may then repeat a source
     triangle (reference duplication), and cluster AABBs bound the CLIPPED
     reference pieces — tight boxes around huge triangles instead of
-    scene-spanning ones.
+    scene-spanning ones.  (Measured NEGATIVE on the dragon scene — see
+    RenderConfig.bvh_presplit — superseded by the global set below.)
+
+    ``global_sa_frac``: triangles whose AABB half-surface-area exceeds
+    this fraction of the scene box's go to the GLOBAL set (up to
+    ``max_global``, largest first): excluded from clustering (their
+    scene-spanning boxes would otherwise dominate every cluster they
+    touch) and placed in dedicated 128-aligned slots at the END of the
+    padded tables, where tracers dense-test them once per ray (tile)
+    before traversal.
     """
     t = int(v0.shape[0])
     if t == 0:
@@ -348,13 +372,33 @@ def build_cluster_bvh(
     tri_lo = np.minimum(np.minimum(p0, p1), p2)
     tri_hi = np.maximum(np.maximum(p0, p1), p2)
 
+    # Global-set extraction (largest-first, bounded).
+    tri_ids = np.arange(t, dtype=np.int64)
+    global_ids = np.empty((0,), np.int64)
+    if global_sa_frac > 0.0 and t > 1:
+        areas = _surface_area(tri_lo, tri_hi)
+        scene_sa = float(_surface_area(
+            tri_lo.min(axis=0)[None], tri_hi.max(axis=0)[None])[0])
+        big = np.nonzero(areas > global_sa_frac * scene_sa)[0]
+        if len(big) > max_global:
+            big = big[np.argsort(-areas[big])[:max_global]]
+        if len(big) and len(big) < t:  # never globalize the whole scene
+            global_ids = np.sort(big.astype(np.int64))
+            keep = np.ones(t, bool)
+            keep[global_ids] = False
+            tri_ids = tri_ids[keep]
+    n_global = len(global_ids)
+    padded_global = -(-n_global // 128) * 128 if n_global else 0
+
+    tl, th = tri_lo[tri_ids], tri_hi[tri_ids]
     if presplit > 0.0:
-        src, ref_lo, ref_hi = presplit_references(
-            p0, e1.astype(np.float64), e2.astype(np.float64),
-            tri_lo, tri_hi, budget_frac=presplit)
+        sub, ref_lo, ref_hi = presplit_references(
+            p0[tri_ids], e1[tri_ids].astype(np.float64),
+            e2[tri_ids].astype(np.float64), tl, th, budget_frac=presplit)
+        src = tri_ids[sub]
     else:
-        src = np.arange(t, dtype=np.int64)
-        ref_lo, ref_hi = tri_lo, tri_hi
+        src = tri_ids
+        ref_lo, ref_hi = tl, th
     n_refs = src.shape[0]
     centroids = 0.5 * (ref_lo + ref_hi)
 
@@ -373,8 +417,10 @@ def build_cluster_bvh(
 
     num_clusters = -(-n_refs // c)
     padded = num_clusters * c
-    order_padded = np.full(padded, -1, np.int64)
+    # slot layout: [clustered refs (num_clusters * c) | global slots]
+    order_padded = np.full(padded + padded_global, -1, np.int64)
     order_padded[:n_refs] = src[order]
+    order_padded[padded:padded + n_global] = global_ids
 
     # Per-cluster AABBs over the sorted references; padding slots are empty.
     lo_sorted = np.full((padded, 3), np.inf)
@@ -409,13 +455,15 @@ def build_cluster_bvh(
 
     spec = BVHSpec(
         num_triangles=t,
-        padded_triangles=padded,
+        padded_triangles=padded + padded_global,
         cluster_size=c,
         num_clusters=num_clusters,
         branching=b,
         levels=levels,
         num_nodes=num_nodes,
         first_leaf=first_leaf,
+        num_global=n_global,
+        padded_global=padded_global,
     )
     return (
         order_padded,

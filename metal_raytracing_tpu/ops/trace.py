@@ -147,6 +147,23 @@ def _packet_closest(o, d, mask, geometry, node_lo, node_hi, spec: BVHSpec):
         best_tri=jnp.full((r,), -1, jnp.int32),
     )
 
+    if spec.num_global:
+        # Global triangles (scene-spanning planes, excluded from the
+        # clusters — BVHSpec.num_global) are tested up front; the hit also
+        # SEEDS best_t, tightening every node's t_max cull below.
+        gb = spec.global_base
+        gv0 = _slice_rows(geometry.v0, gb, spec.padded_global)
+        ge1 = _slice_rows(geometry.e1, gb, spec.padded_global)
+        ge2 = _slice_rows(geometry.e2, gb, spec.padded_global)
+        t, u, v, hit = moller_trumbore(
+            o[:, None, :], d[:, None, :], gv0[None], ge1[None], ge2[None])
+        hit = hit & mask[:, None]
+        best = _min_update(
+            (init.best_t, init.best_u, init.best_v, init.best_tri),
+            t, u, v, hit, gb, spec.padded_global)
+        init = init._replace(best_t=best[0], best_u=best[1],
+                             best_v=best[2], best_tri=best[3])
+
     def leaf_fn(st: State, node):
         cidx = node - spec.first_leaf
         base = cidx * c
@@ -220,6 +237,17 @@ def _packet_any(o, d, max_t, mask, geometry, node_lo, node_hi, spec: BVHSpec):
         stack=jnp.zeros((stack_size + 1,), jnp.int32),
         occluded=jnp.zeros((r,), bool),
     )
+
+    if spec.num_global:
+        gb = spec.global_base
+        gv0 = _slice_rows(geometry.v0, gb, spec.padded_global)
+        ge1 = _slice_rows(geometry.e1, gb, spec.padded_global)
+        ge2 = _slice_rows(geometry.e2, gb, spec.padded_global)
+        _, _, _, hit = moller_trumbore(
+            o[:, None, :], d[:, None, :], gv0[None], ge1[None], ge2[None],
+            t_max=max_t[:, None])
+        hit = hit & mask[:, None]
+        init = init._replace(occluded=jnp.any(hit, axis=1))
 
     def leaf_fn(st: State, node, active):
         base = (node - spec.first_leaf) * c

@@ -88,7 +88,14 @@ def _super_size(nc: int) -> int:
 def pack_scene_planes(geometry, node_lo, node_hi, spec: BVHSpec):
     """One-time scene repack into kernel layouts (done at scene build):
     cluster AABB planes grouped by super + super AABB planes + tri planes.
-    Returns (sup (6, nsp <= NSP), clu (NS, 6, S), tri (12, T))."""
+    Returns (sup (nsp <= NSP, 6), clu (NS, S, 6), tri (12, T)).
+
+    Box planes are stored boxes-major with the 6 plane components in the
+    LANE dimension: the kernels consume (B, 1) per-component columns, and
+    a column of a (B, 6) array is a free static lane slice — the previous
+    (6, B) layout cost six lane->sublane transposes per ray tile (supers)
+    and per super visit (clusters), a measurable share of the per-tile
+    fixed cost."""
     nc = spec.num_clusters
     leaf0 = spec.first_leaf
     s = _super_size(nc)
@@ -111,12 +118,11 @@ def pack_scene_planes(geometry, node_lo, node_hi, spec: BVHSpec):
     nsp = max(8, -(-ns // 8) * 8)
     sup_lo = jnp.pad(sup_lo, ((0, nsp - ns), (0, 0)), constant_values=BIG_T)
     sup_hi = jnp.pad(sup_hi, ((0, nsp - ns), (0, 0)), constant_values=-BIG_T)
-    # (6, nsp): rows = lox loy loz hix hiy hiz
-    sup = jnp.concatenate([sup_lo.T, sup_hi.T], axis=0)
-    # (NS, 6, S): per-super cluster planes
+    # (nsp, 6): columns = lox loy loz hix hiy hiz (lane-sliceable)
+    sup = jnp.concatenate([sup_lo, sup_hi], axis=1)
+    # (NS, S, 6): per-super cluster planes, same column layout
     clu = jnp.concatenate(
-        [cl_lo.reshape(ns, s, 3).transpose(0, 2, 1),
-         cl_hi.reshape(ns, s, 3).transpose(0, 2, 1)], axis=1)
+        [cl_lo.reshape(ns, s, 3), cl_hi.reshape(ns, s, 3)], axis=2)
     tri = pack_triangle_planes(geometry)
     return sup, clu, tri
 
@@ -173,8 +179,10 @@ def _slab_cols(box_cols, o_rows, inv_rows, t_max):
 N_TRI_PLANES = 12
 
 # Triangle planes larger than this stay in HBM and stream per visit
-# (VMEM is ~8-16 MB; leave room for ray blocks, node planes, outputs).
-VMEM_TRI_BUDGET_BYTES = 6 * 1024 * 1024
+# (VMEM is ~16 MB; ray blocks, node planes, and outputs need only ~100 KB,
+# and ~200k-triangle plane tables (9.6 MB) measured resident in round 1 —
+# 8.5 MB keeps the presplit-expanded dragon (7.1 MB) resident).
+VMEM_TRI_BUDGET_BYTES = 8_500_000
 
 
 # Dense-intersection chunk width.  The (R, C) temporaries of a whole-cluster
@@ -219,13 +227,16 @@ def _fetch_tri_chunk(tri_ref, base, j, scratch):
     return [scratch[row, lo:lo + CHUNK] for row in range(N_TRI_PLANES)]
 
 
-def _stream_tri(tri_ref, base, c_size, scratch, sem):
-    """DMA the visited cluster's (16, C) plane slab HBM -> VMEM scratch
-    (a synchronous copy per visit — the ~1-2us latency is small against
-    the dense intersection that follows).  Streamed planes are padded to
-    16 rows: DMA slices must be 8-aligned in the sublane dimension."""
+def _stream_tri(tri_ref, base, width, scratch, sem):
+    """DMA a (16, width) plane slab HBM -> VMEM scratch (a synchronous
+    copy per visit — the ~1-2us latency is small against the dense
+    intersection that follows).  Streamed planes are padded to 16 rows:
+    DMA slices must be 8-aligned in the sublane dimension.  ``width`` is
+    the cluster size for leaf visits, or the (smaller) global-slot span
+    for the pre-traversal global test."""
+    dst = scratch if width == scratch.shape[1] else scratch.at[:, 0:width]
     dma = pltpu.make_async_copy(
-        tri_ref.at[:, pl.ds(base, c_size)], scratch, sem)
+        tri_ref.at[:, pl.ds(base, width)], dst, sem)
     dma.start()
     dma.wait()
 
@@ -297,13 +308,51 @@ def _ray_views(ray_refs, t):
             maxt_row, maxt_col)
 
 
-def _box_cols(ref_rows):
-    """(6, B) plane rows -> six (B, 1) column vectors."""
-    return tuple(ref_rows[i, :][:, None] for i in range(6))
+def _box_cols(ref):
+    """(B, 6) plane table -> six (B, 1) column vectors (free lane slices
+    — the planes are stored boxes-major precisely so no lane->sublane
+    transpose happens here; see pack_scene_planes)."""
+    return tuple(ref[:, i:i + 1] for i in range(6))
+
+
+def _seed_global_closest(g_base, g_chunks, c_size, r, lane, ocol, dcol,
+                         mask_col, tri_ref, tri_scratch, tri_sem):
+    """Dense-test the global-triangle slots (scene-spanning planes pulled
+    out of the clusters, BVHSpec.num_global) and return the seeded
+    (best_key, best_base) columns.  Runs once per tile BEFORE traversal:
+    besides removing the scene-sized cluster boxes those triangles would
+    force, the seeded hit distance tightens every super/cluster cull."""
+    if tri_scratch is not None:
+        _stream_tri(tri_ref, g_base, g_chunks * CHUNK, tri_scratch, tri_sem)
+    acc = jnp.full((r, CHUNK), _INIT_KEY, jnp.int32)
+    for j in range(g_chunks):
+        tri = _fetch_tri_chunk(tri_ref, g_base, j, tri_scratch)
+        t, _u, _v, hit = _mt_block(ocol, dcol, tri, None)
+        hit = hit & mask_col
+        ti = jax.lax.bitcast_convert_type(t, jnp.int32)
+        key = (ti & ~IDX_MASK) | (j * CHUNK + lane)
+        acc = jnp.minimum(acc, jnp.where(hit, key, _INIT_KEY))
+    key0 = jnp.min(acc, axis=1, keepdims=True)
+    return key0, jnp.full((r, 1), g_base, jnp.int32)
+
+
+def _seed_global_any(g_base, g_chunks, r, ocol, dcol, mask_col, maxt_col,
+                     occ0, tri_ref, tri_scratch, tri_sem):
+    """Occlusion against the global-triangle slots, folded into the
+    initial occlusion row; see :func:`_seed_global_closest`."""
+    if tri_scratch is not None:
+        _stream_tri(tri_ref, g_base, g_chunks * CHUNK, tri_scratch, tri_sem)
+    acc = jnp.zeros((r, CHUNK), jnp.float32)
+    for j in range(g_chunks):
+        tri = _fetch_tri_chunk(tri_ref, g_base, j, tri_scratch)
+        _, _, _, hit = _mt_block(ocol, dcol, tri, maxt_col)
+        acc = jnp.maximum(acc, (hit & mask_col).astype(jnp.float32))
+    return jnp.maximum(occ0, jnp.max(acc, axis=1, keepdims=True).T)
 
 
 def _closest_kernel(*refs,
                     s_per: int, c_size: int, r: int, tb: int,
+                    g_base: int = 0, g_chunks: int = 0,
                     count_visits: bool = False):
   ray_refs = refs[:7]  # ox oy oz dx dy dz maskf
   sup_ref, clu_ref, tri_ref, t_out_ref, tri_out_ref = refs[7:12]
@@ -347,7 +396,7 @@ def _closest_kernel(*refs,
     hit_s = hit_s & mask_row
     tn_s = jnp.maximum(tn_s, 0.0)
 
-    nsp = sup_ref.shape[1]  # supers padded only to a sublane multiple
+    nsp = sup_ref.shape[0]  # supers padded only to a sublane multiple
     sup_iota = jax.lax.broadcasted_iota(jnp.int32, (nsp, 1), 0)
     clu_iota = jax.lax.broadcasted_iota(jnp.int32, (s_per, 1), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (r, CHUNK), 1)
@@ -396,7 +445,7 @@ def _closest_kernel(*refs,
         score, svis, best_key, best_base, nvis = st
         s = jnp.argmin(score[:, 0])
         svis = jnp.maximum(svis, (sup_iota == s).astype(jnp.float32))
-        cp = clu_ref[s]  # (6, S)
+        cp = clu_ref[s]  # (S, 6)
         tn_c, hit_c = _slab_cols(_box_cols(cp), o_rows, inv_rows, BIG_T)
         hit_c = hit_c & mask_row
         tn_c = jnp.maximum(tn_c, 0.0)
@@ -413,8 +462,13 @@ def _closest_kernel(*refs,
         return jnp.min(st[0]) < BIG_T * 0.5
 
     svis0 = jnp.zeros((nsp, 1), jnp.float32)
-    key0 = jnp.full((r, 1), _INIT_KEY, jnp.int32)
-    base0 = jnp.zeros((r, 1), jnp.int32)
+    if g_chunks:
+        key0, base0 = _seed_global_closest(
+            g_base, g_chunks, c_size, r, lane, ocol, dcol, mask_col,
+            tri_ref, tri_scratch, tri_sem)
+    else:
+        key0 = jnp.full((r, 1), _INIT_KEY, jnp.int32)
+        base0 = jnp.zeros((r, 1), jnp.int32)
     init = (sup_score(svis0, _key_to_t(key0).T), svis0, key0, base0,
             jnp.zeros((), jnp.float32))
     _, _, best_key, best_base, nvis = jax.lax.while_loop(
@@ -431,6 +485,7 @@ def _closest_kernel(*refs,
 
 
 def _any_kernel(*refs, s_per: int, c_size: int, r: int, tb: int,
+                g_base: int = 0, g_chunks: int = 0,
                 count_visits: bool = False):
   ray_refs = refs[:8]  # ox oy oz dx dy dz maskf tmax
   sup_ref, clu_ref, tri_ref, occ_ref = refs[8:12]
@@ -462,7 +517,7 @@ def _any_kernel(*refs, s_per: int, c_size: int, r: int, tb: int,
     tn_s, hit_s = _slab_cols(sup_cols, o_rows, inv_rows, maxt_row)
     hit_s = hit_s & mask_row
 
-    nsp = sup_ref.shape[1]  # supers padded only to a sublane multiple
+    nsp = sup_ref.shape[0]  # supers padded only to a sublane multiple
     sup_iota = jax.lax.broadcasted_iota(jnp.int32, (nsp, 1), 0)
     clu_iota = jax.lax.broadcasted_iota(jnp.int32, (s_per, 1), 0)
 
@@ -523,6 +578,10 @@ def _any_kernel(*refs, s_per: int, c_size: int, r: int, tb: int,
 
     svis0 = jnp.zeros((nsp, 1), jnp.float32)
     occ0 = 1.0 - mask_row.astype(jnp.float32)
+    if g_chunks:
+        occ0 = _seed_global_any(g_base, g_chunks, r, ocol, dcol, mask_col,
+                                maxt_col, occ0, tri_ref, tri_scratch,
+                                tri_sem)
     init = (sup_score(svis0, occ0), svis0, occ0, jnp.zeros((), jnp.float32))
     _, _, occ_row, nvis = jax.lax.while_loop(super_cond, visit_super, init)
     # masked-off rays were seeded "occluded" to kill their work; report 0
@@ -535,6 +594,7 @@ def _any_kernel(*refs, s_per: int, c_size: int, r: int, tb: int,
 
 
 def _closest_flat_kernel(*refs, c_size: int, r: int, tb: int,
+                         g_base: int = 0, g_chunks: int = 0,
                          count_visits: bool = False):
   """Single-level traversal: extract-min directly over ALL cluster AABBs.
 
@@ -578,7 +638,7 @@ def _closest_flat_kernel(*refs, c_size: int, r: int, tb: int,
     hit_c = hit_c & mask_row  # (NCP, R)
     tn_c = jnp.maximum(tn_c, 0.0)
 
-    ncp = cluf_ref.shape[1]
+    ncp = cluf_ref.shape[0]
     clu_iota = jax.lax.broadcasted_iota(jnp.int32, (ncp, 1), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (r, CHUNK), 1)
 
@@ -614,8 +674,13 @@ def _closest_flat_kernel(*refs, c_size: int, r: int, tb: int,
         return jnp.min(st[0]) < BIG_T * 0.5
 
     cvis0 = jnp.zeros((ncp, 1), jnp.float32)
-    key0 = jnp.full((r, 1), _INIT_KEY, jnp.int32)
-    base0 = jnp.zeros((r, 1), jnp.int32)
+    if g_chunks:
+        key0, base0 = _seed_global_closest(
+            g_base, g_chunks, c_size, r, lane, ocol, dcol, mask_col,
+            tri_ref, tri_scratch, tri_sem)
+    else:
+        key0 = jnp.full((r, 1), _INIT_KEY, jnp.int32)
+        base0 = jnp.zeros((r, 1), jnp.int32)
     init = (score(cvis0, _key_to_t(key0).T), cvis0, key0, base0,
             jnp.zeros((), jnp.float32))
     _, _, best_key, best_base, nvis = jax.lax.while_loop(cond, visit, init)
@@ -631,6 +696,7 @@ def _closest_flat_kernel(*refs, c_size: int, r: int, tb: int,
 
 
 def _any_flat_kernel(*refs, c_size: int, r: int, tb: int,
+                     g_base: int = 0, g_chunks: int = 0,
                      count_visits: bool = False):
   """Single-level any-hit walk; see :func:`_closest_flat_kernel`."""
   ray_refs = refs[:8]  # ox oy oz dx dy dz maskf tmax
@@ -664,7 +730,7 @@ def _any_flat_kernel(*refs, c_size: int, r: int, tb: int,
     hit_c = hit_c & mask_row
     tn_c = jnp.maximum(tn_c, 0.0)
 
-    ncp = cluf_ref.shape[1]
+    ncp = cluf_ref.shape[0]
     clu_iota = jax.lax.broadcasted_iota(jnp.int32, (ncp, 1), 0)
 
     def score(cvis, occ_row):
@@ -693,6 +759,10 @@ def _any_flat_kernel(*refs, c_size: int, r: int, tb: int,
 
     cvis0 = jnp.zeros((ncp, 1), jnp.float32)
     occ0 = 1.0 - mask_row.astype(jnp.float32)
+    if g_chunks:
+        occ0 = _seed_global_any(g_base, g_chunks, r, ocol, dcol, mask_col,
+                                maxt_col, occ0, tri_ref, tri_scratch,
+                                tri_sem)
     init = (score(cvis0, occ0), cvis0, occ0, jnp.zeros((), jnp.float32))
     _, _, occ_row, nvis = jax.lax.while_loop(cond, visit, init)
     occ_i32 = (occ_row > 0.5).astype(jnp.int32)
@@ -719,10 +789,10 @@ def _use_flat(spec: BVHSpec, flat) -> bool:
 
 
 def _flat_cluster_planes(clu: jnp.ndarray) -> jnp.ndarray:
-    """(NS, 6, S) per-super cluster planes -> flat (6, NS*S) in global
-    padded-cluster order (pure reshape fused by XLA; done per trace call
-    on a few-KB array)."""
-    return clu.transpose(1, 0, 2).reshape(6, -1)
+    """(NS, S, 6) per-super cluster planes -> flat (NS*S, 6) in global
+    padded-cluster order (a pure reshape now that planes are stored
+    boxes-major)."""
+    return clu.reshape(-1, clu.shape[2])
 
 
 def _should_interpret() -> bool:
@@ -844,15 +914,16 @@ def trace_closest(o, d, mask, sup, clu, tri, spec: BVHSpec,
     if stream:
         tri = jnp.pad(tri, ((0, 16 - N_TRI_PLANES), (0, 0)))
 
+    gkw = dict(g_base=spec.global_base, g_chunks=spec.padded_global // CHUNK)
     if _use_flat(spec, flat):
         sup = _flat_cluster_planes(clu)  # flat kernels slab ALL clusters
         kernel = functools.partial(_closest_flat_kernel,
                                    c_size=spec.cluster_size, r=block, tb=tb,
-                                   count_visits=count_visits)
+                                   count_visits=count_visits, **gkw)
     else:
         kernel = functools.partial(_closest_kernel, s_per=s_per,
                                    c_size=spec.cluster_size, r=block, tb=tb,
-                                   count_visits=count_visits)
+                                   count_visits=count_visits, **gkw)
     out_shapes = (
         jax.ShapeDtypeStruct((nb, 1, block), jnp.float32),
         jax.ShapeDtypeStruct((nb, 1, block), jnp.int32),
@@ -912,15 +983,16 @@ def trace_any(o, d, max_t, mask, sup, clu, tri, spec: BVHSpec,
     if stream:
         tri = jnp.pad(tri, ((0, 16 - N_TRI_PLANES), (0, 0)))
 
+    gkw = dict(g_base=spec.global_base, g_chunks=spec.padded_global // CHUNK)
     if _use_flat(spec, flat):
         sup = _flat_cluster_planes(clu)  # flat kernels slab ALL clusters
         kernel = functools.partial(_any_flat_kernel,
                                    c_size=spec.cluster_size, r=block, tb=tb,
-                                   count_visits=count_visits)
+                                   count_visits=count_visits, **gkw)
     else:
         kernel = functools.partial(_any_kernel, s_per=s_per,
                                    c_size=spec.cluster_size, r=block, tb=tb,
-                                   count_visits=count_visits)
+                                   count_visits=count_visits, **gkw)
     out_shapes = (jax.ShapeDtypeStruct((nb, 1, block), jnp.int32),)
     out_specs = (pl.BlockSpec((tb, 1, block), lambda i: (i, 0, 0),
                               memory_space=pltpu.VMEM),)

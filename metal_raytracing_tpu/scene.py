@@ -75,8 +75,8 @@ class SceneData(NamedTuple):
     camera: Camera
     # Prepacked Pallas-kernel layouts (pack_scene_planes): super AABB planes,
     # per-super cluster planes, triangle component planes.
-    sup_planes: jnp.ndarray = None  # (6, nsp) f32, nsp = 8-multiple <= 128
-    clu_planes: jnp.ndarray = None  # (NS, 6, S) f32
+    sup_planes: jnp.ndarray = None  # (nsp, 6) f32, nsp = 8-multiple <= 128
+    clu_planes: jnp.ndarray = None  # (NS, S, 6) f32
     tri_planes: jnp.ndarray = None  # (12, T) f32
     # Per-triangle shading rows [M(9) m0(3) kd(3) mat_id]: the affine
     # normal map ns(p) = M p + m0 plus albedo, so the shade pass does ONE
@@ -313,7 +313,7 @@ def build_scene_data(
     env_map: Optional[np.ndarray] = None,
     max_edge_frac: float = 0.0,
     builder: str = "sah",
-    presplit: float = 0.3,
+    presplit: float = 0.0,
 ) -> Tuple[SceneData, SceneSpec]:
     """Flatten, Morton-sort, cluster, and upload a scene.
 
@@ -457,7 +457,7 @@ class Scene:
         return sum(i.model.triangle_count for i in self.instances)
 
     def build(self, cluster_size: int = 384, branching: int = 8,
-              builder: str = "sah", presplit: float = 0.3):
+              builder: str = "sah", presplit: float = 0.0):
         return build_scene_data(
             self.instances, self.lights, self.camera(),
             cluster_size=cluster_size, branching=branching,

@@ -238,18 +238,24 @@ class RenderConfig:
     # fewest clusters visited) | "median" | "morton"
     bvh_builder: str = "sah"
     # SBVH-style spatial pre-split budget (extra references as a fraction
-    # of the triangle count; 0 disables).  Huge triangles (the scale-10
-    # ground planes) are split into multiple clipped references so cluster
-    # AABBs stay tight — directly attacks the bounce-visit p90 tail.
-    bvh_presplit: float = 0.3
+    # of the triangle count; 0 disables).  Splits huge triangles into
+    # clipped references so cluster AABBs stay tight.  MEASURED NEGATIVE
+    # on dragon 1024^2 (0.3: 334 -> 518 ms/sample; bounce visits mean
+    # 10.1 -> 14.3 — shallow bounce rays leaving the ground plane cross
+    # MANY thin plane-piece clusters that the single scene-spanning
+    # cluster previously answered in one visit).  Kept as a knob for
+    # scenes dominated by mid-sized straddling triangles; the dragon-class
+    # fix is the global-triangle set (see accel/global set) instead.
+    bvh_presplit: float = 0.0
     ray_block: int = 128  # rays per traversal block (bounce passes)
     # Traversal block for the PRIMARY pass pair (camera rays + bounce-0
     # shadows).  Primary blocks are near-perfectly coherent (visits p90 ~4),
     # so their cost is dominated by the fixed per-block kernel machinery —
     # larger blocks amortize it without multiplying visits the way they do
     # for incoherent bounce rays (where ray_block=256 measured worse).
-    # None = use ray_block.
-    primary_ray_block: Optional[int] = None
+    # Measured: 512 saves ~25 ms/sample on dragon 1024^2 (vs 128; 256
+    # saves ~13).  None = use ray_block.
+    primary_ray_block: Optional[int] = 512
     # Wavefront compaction: permute rays so live rays pack into full
     # traversal blocks between bounces (the realized version of the
     # reference's dead bitonic-sort divergence experiment,

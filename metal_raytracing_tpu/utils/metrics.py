@@ -135,8 +135,8 @@ def visit_percentiles(stats: Dict[str, object]) -> Dict[str, object]:
             round(float(np.percentile(prim, 50)), 1),
             round(float(np.percentile(prim, 90)), 1)]
         if len(vkeys) > 1:
-            b = np.concatenate([np.asarray(stats[k]) for k in vkeys[1:]])
-            b = b[b > 0]
+            ball = np.concatenate([np.asarray(stats[k]) for k in vkeys[1:]])
+            b = ball[ball > 0]
             if b.size:
                 out["visits_bounce_p50_p90"] = [
                     round(float(np.percentile(b, 50)), 1),
@@ -144,13 +144,21 @@ def visit_percentiles(stats: Dict[str, object]) -> Dict[str, object]:
                 # bounce passes only (vkeys[1:] — primaries excluded);
                 # named accordingly (VERDICT round 2 #7)
                 out["bounce_visits_mean"] = round(float(b.mean()), 2)
+                # zero-visit tiles (dead-skipped OR resolved entirely by
+                # the pre-traversal global test) are excluded from the
+                # stats above — report their share so a rising mean from
+                # MORE zero-visit tiles is not misread as a regression
+                out["bounce_zero_visit_frac"] = round(
+                    float((ball == 0).mean()), 3)
     skeys = sorted(k for k in stats if k.startswith("shadow_visits_"))
     if skeys:
-        sv = np.concatenate([np.asarray(stats[k]) for k in skeys])
-        sv = sv[sv > 0]
+        sall = np.concatenate([np.asarray(stats[k]) for k in skeys])
+        sv = sall[sall > 0]
         if sv.size:
             out["shadow_visits_p50_p90_mean"] = [
                 round(float(np.percentile(sv, 50)), 1),
                 round(float(np.percentile(sv, 90)), 1),
                 round(float(sv.mean()), 2)]
+            out["shadow_zero_visit_frac"] = round(
+                float((sall == 0).mean()), 3)
     return out

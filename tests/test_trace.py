@@ -81,7 +81,7 @@ def test_bvh_invariants(branching, cluster):
     v0, e1, e2 = _random_soup(777)
     order, node_lo, node_hi, spec = accel.build_cluster_bvh(
         v0, e1, e2, cluster_size=cluster, branching=branching)
-    # every real triangle appears exactly once
+    # every real triangle appears exactly once (clustered or global slots)
     real = order[order >= 0]
     assert sorted(real.tolist()) == list(range(777))
     assert spec.padded_triangles == len(order)
@@ -95,16 +95,47 @@ def test_bvh_invariants(branching, cluster):
         if valid.any():
             assert (node_lo[g] <= child_lo[valid].min(axis=0) + 1e-6).all()
             assert (node_hi[g] >= child_hi[valid].max(axis=0) - 1e-6).all()
-        # triangles inside their leaf AABB
-    t = spec.num_triangles
-    p0 = np.zeros((spec.padded_triangles, 3), np.float32)
-    p0[order >= 0] = v0[order[order >= 0]]
-    leaf_of = np.arange(spec.padded_triangles) // spec.cluster_size
+    # triangles inside their leaf AABB (clustered slots only: global slots
+    # live past the clusters and have no leaf box by design)
+    nclustered = spec.num_clusters * spec.cluster_size
+    corder = order[:nclustered]
+    p0 = np.zeros((nclustered, 3), np.float32)
+    p0[corder >= 0] = v0[corder[corder >= 0]]
+    leaf_of = np.arange(nclustered) // spec.cluster_size
     lo = node_lo[spec.first_leaf + leaf_of]
     hi = node_hi[spec.first_leaf + leaf_of]
-    mask = (order >= 0)
+    mask = (corder >= 0)
     assert (p0[mask] >= lo[mask] - 1e-5).all()
     assert (p0[mask] <= hi[mask] + 1e-5).all()
+
+
+def test_global_set_extraction():
+    """Huge triangles go to dedicated global slots past the clusters
+    (BVHSpec.num_global): excluded from clustering, 128-aligned, and the
+    union of clustered + global slots still covers every source exactly
+    once."""
+    v0, e1, e2 = _random_soup(500, seed=31)
+    e1[:3] *= 50.0  # scene-spanning triangles
+    e2[:3] *= 50.0
+    order, node_lo, node_hi, spec = accel.build_cluster_bvh(
+        v0, e1, e2, cluster_size=64, branching=8)
+    assert spec.num_global >= 3
+    assert spec.padded_global % 128 == 0
+    assert spec.global_base == spec.num_clusters * spec.cluster_size
+    assert spec.padded_triangles == spec.global_base + spec.padded_global
+    gslots = order[spec.global_base:]
+    assert set(range(3)) <= set(gslots[gslots >= 0].tolist())
+    real = order[order >= 0]
+    assert sorted(real.tolist()) == list(range(500))
+    # the huge triangles are NOT in any cluster -> every leaf box is much
+    # smaller than the (inflated) scene box
+    ext = np.maximum(node_hi - node_lo, 0)[spec.first_leaf:]
+    sa = ext[:, 0] * ext[:, 1] + ext[:, 1] * ext[:, 2] + ext[:, 2] * ext[:, 0]
+    lo_all = np.minimum(np.minimum(v0, v0 + e1), v0 + e2).min(axis=0)
+    hi_all = np.maximum(np.maximum(v0, v0 + e1), v0 + e2).max(axis=0)
+    sext = hi_all - lo_all
+    scene_sa = sext[0] * sext[1] + sext[1] * sext[2] + sext[2] * sext[0]
+    assert sa.max() < 0.5 * scene_sa
 
 
 def test_presplit_reference_coverage():
