@@ -55,6 +55,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="enable emissive (Ke) materials")
     r.add_argument("--textures", action="store_true",
                    help="enable UV-mapped base-color textures (map_Kd)")
+    r.add_argument("--refraction", action="store_true",
+                   help="enable dielectric refraction (Ni/d materials)")
     r.add_argument("--no-compaction", action="store_true",
                    help="disable live-ray compaction between bounces")
     r.add_argument("--checkpoint", default=None,
@@ -135,6 +137,7 @@ def cmd_render(args) -> int:
         enable_specular=args.specular or scene.name == "coatball",
         enable_emission=args.emission,
         enable_textures=args.textures or scene.name == "uv_test",
+        enable_refraction=args.refraction or scene.name == "glass_sphere",
         compaction=not args.no_compaction)
 
     t0 = time.perf_counter()

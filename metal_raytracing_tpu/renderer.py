@@ -23,8 +23,10 @@ Semantics preserved exactly (pixel-parity goals, SURVEY.md §4):
   equivalent of the reference's ping-pong textures (Renderer.swift:332-334).
 
 Extensions beyond the reference (gated off by default for parity): HDR
-environment lighting on miss, emissive materials, specular reflection
-(the reference lists refraction/specular as TODO, reference README.md:8).
+environment lighting on miss, emissive materials, specular reflection,
+and dielectric refraction (the reference lists refraction/specular as
+TODO, reference README.md:8 — both are implemented here behind config
+gates).
 """
 
 from __future__ import annotations
@@ -482,7 +484,22 @@ def render_rays(
             if cfg.telemetry and tracer_kind == "pallas":
                 occluded, tele_stats[f"shadow_visits_b{bounce}"] = occluded
         visible = do_shadow & ~occluded
-        accum += jnp.where(visible[:, None], lcolor * dcolor, 0.0)  # :371-373
+        if cfg.enable_refraction:
+            # Dielectric extension (the reference's own declared next
+            # feature, reference README.md:8; Ni/d are carried in the ABI,
+            # ShaderTypes.h:105 -> types.Material).  A material with
+            # dissolve < 1 and Ni > 0 is (1 - dissolve) transmissive; its
+            # diffuse layer — including this vertex's NEE — carries only
+            # the `dissolve` fraction.
+            mid_r = row[:, 15].astype(jnp.int32)
+            ni_r = mats.refraction_index[mid_r]
+            dvis = mats.dissolve[mid_r]
+            transmissive = alive & (dvis < 1.0) & (ni_r > 0.0)
+            nee_w = jnp.where(transmissive, dvis, 1.0)[:, None]
+        else:
+            nee_w = 1.0
+        accum += jnp.where(visible[:, None], lcolor * dcolor * nee_w,
+                           0.0)  # :371-373
 
         # Bounce continuation.  Reference path: always cosine-weighted
         # diffuse, throughput = dcolor (:384-391).  Extension
@@ -494,6 +511,8 @@ def render_rays(
              sampling.halton(idx, sampling.bounce_dim(bounce, 4))], axis=-1)
         local = sampling.sample_cosine_weighted_hemisphere(r_bounce)
         d_diffuse = sampling.align_hemisphere_with_normal(local, ns)
+        d_in = d  # incoming direction (``d`` is rebound below)
+        color_in = color  # incoming throughput (pre-lobe)
 
         if cfg.enable_specular:
             mid = row[:, 15].astype(jnp.int32)
@@ -527,7 +546,52 @@ def render_rays(
         else:
             d = d_diffuse
             color = dcolor
-        o = pos + ns * 1e-3
+
+        if cfg.enable_refraction:
+            # Transmissive branch, chosen with probability (1 - dissolve):
+            # Snell refraction with Schlick-Fresnel reflect/refract choice
+            # and total internal reflection, on the side-aware shading
+            # normal.  Both the branch choice and the Fresnel choice are
+            # importance-sampled with weight 1 (unbiased single-sample
+            # estimator); extra Halton dimensions sit past the specular
+            # lobe's so the reference schedule stays untouched.  Glass is
+            # tinted by Kd when present (near-black Kd means "clear" —
+            # common in glass MTLs — not "absorb everything").  Shadow
+            # rays still treat glass as a full occluder (no transmittance
+            # along shadow segments; documented limitation).
+            xi_t = sampling.halton(
+                idx, 2 + 5 * cfg.max_bounces + cfg.max_bounces + bounce)
+            take_t = transmissive & (xi_t >= dvis)
+            inside = jnp.sum(d_in * ns, axis=-1) > 0.0  # back-face hit
+            n_eff = jnp.where(inside[:, None], -ns, ns)
+            ci = jnp.clip(-jnp.sum(d_in * n_eff, axis=-1), 0.0, 1.0)
+            ni_s = jnp.maximum(ni_r, 1.0 + 1e-6)
+            eta = jnp.where(inside, ni_s, 1.0 / ni_s)
+            sin2_t = eta * eta * jnp.maximum(0.0, 1.0 - ci * ci)
+            tir = sin2_t > 1.0
+            cos_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_t))
+            d_refr = _normalize(eta[:, None] * d_in
+                                + (eta * ci - cos_t)[:, None] * n_eff)
+            d_refl = _normalize(d_in + 2.0 * ci[:, None] * n_eff)
+            f0 = ((ni_s - 1.0) / (ni_s + 1.0)) ** 2
+            fr = jnp.where(tir, 1.0,
+                           f0 + (1.0 - f0) * (1.0 - ci) ** 5)
+            xi_f = sampling.halton(
+                idx, 2 + 5 * cfg.max_bounces + 2 * cfg.max_bounces + bounce)
+            refl_t = xi_f < fr
+            d = jnp.where(take_t[:, None],
+                          jnp.where(refl_t[:, None], d_refl, d_refr), d)
+            kd_max_r = jnp.max(base_color, axis=-1, keepdims=True)
+            tint = jnp.where(kd_max_r > 1e-4, base_color, 1.0)
+            t_tp = jnp.where(alive[:, None], color_in * tint, color_in)
+            color = jnp.where(take_t[:, None], t_tp, color)
+            # refracted rays continue THROUGH the surface: offset along
+            # the inward side-aware normal
+            off_n = jnp.where(take_t[:, None],
+                              jnp.where(refl_t[:, None], n_eff, -n_eff), ns)
+            o = pos + off_n * 1e-3
+        else:
+            o = pos + ns * 1e-3
 
     stats = {"closest_rays": closest_count, "shadow_rays": shadow_count,
              **tele_stats}

@@ -7,6 +7,7 @@ from .library import (  # noqa: F401
     get_scene,
     plane_sphere_scene,
     bunny_env_scene,
+    glass_sphere_scene,
     teapot_scene,
     uv_test_scene,
 )

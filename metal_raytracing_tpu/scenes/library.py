@@ -13,7 +13,8 @@ from ..types import area_light, spot_light, sun_light
 
 __all__ = [
     "dragon_scene", "plane_sphere_scene", "teapot_scene", "bunny_env_scene",
-    "coatball_scene", "uv_test_scene", "SCENES", "get_scene",
+    "coatball_scene", "uv_test_scene", "glass_sphere_scene", "SCENES",
+    "get_scene",
 ]
 
 
@@ -104,6 +105,36 @@ def uv_test_scene(width: int = 256, height: int = 256) -> Scene:
     return s
 
 
+def glass_sphere_scene(width: int = 512, height: int = 512) -> Scene:
+    """Dielectric test scene for the refraction extension
+    (``--refraction`` / ``enable_refraction=True``): a glass sphere
+    (Ni = 1.5, dissolve = 0.15) over a diffuse floor with a matte sphere
+    behind it, so both refraction (inverted image of the back sphere)
+    and Fresnel reflection (floor glints near grazing) are visible.
+    The reference declares refraction as its next feature but never
+    implements it (reference README.md:8; Ni carried at
+    ShaderTypes.h:105)."""
+    import dataclasses
+
+    s = Scene(width, height, default_lights=False)
+    s.name = "glass_sphere"
+    s.lights = [area_light(position=(0.0, 4.0, 2.0), forward=(0.0, -1.0, 0.0),
+                           right=(0.8, 0.0, 0.0), up=(0.0, 0.0, 0.8),
+                           color=(12.0, 12.0, 12.0))]
+    sphere = resolve_model("sphere")
+    glass = dataclasses.replace(sphere, submeshes=[
+        dataclasses.replace(sub, material=dataclasses.replace(
+            sub.material, base_color=(0.99, 0.99, 0.99),
+            refraction_index=1.5, dissolve=0.15))
+        for sub in sphere.submeshes])
+    s.add_instance(glass, position=(0.35, 0.75, 1.2), scale=0.75)
+    s.add_instance(resolve_model("sphere"), position=(-1.2, 1.0, -1.2),
+                   scale=1.0)
+    s.add_instance(resolve_model("plane"), position=(0.0, 0.0, 0.0),
+                   scale=10.0)
+    return s
+
+
 def teapot_scene(width: int = 512, height: int = 512) -> Scene:
     """BASELINE configs[1]: diffuse teapot, area + sun lights, shadows.
 
@@ -161,6 +192,7 @@ SCENES: Dict[str, Callable[..., Scene]] = {
     "dragon": dragon_scene,
     "plane_sphere": plane_sphere_scene,
     "uv_test": uv_test_scene,
+    "glass_sphere": glass_sphere_scene,
     "teapot": teapot_scene,
     "bunny_env": bunny_env_scene,
     "coatball": coatball_scene,

@@ -285,6 +285,10 @@ class RenderConfig:
     # Shade extensions beyond the reference's diffuse-only shading
     enable_specular: bool = False
     enable_emission: bool = False
+    # Dielectric refraction (the reference's declared next feature,
+    # README.md:8): materials with dissolve < 1 and Ni > 0 transmit a
+    # (1 - dissolve) fraction via Snell/Fresnel sampling.
+    enable_refraction: bool = False
     # Base-color textures (UV-mapped map_Kd modulation; the reference
     # parses texcoords but never shades them — deliberate extension)
     enable_textures: bool = False
