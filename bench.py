@@ -45,7 +45,7 @@ def _bench_scene(scene_name: str, size, samples: int, tracer: str,
         width=w, height=h, max_bounces=3, tracer=tracer,
         ray_block=int(os.environ.get("BENCH_RAY_BLOCK", "128")),
         primary_ray_block=int(pb) if pb else None,
-        bvh_presplit=float(os.environ.get("BENCH_PRESPLIT", "0.3")))
+        bvh_presplit=float(os.environ.get("BENCH_PRESPLIT", "0.0")))
     renderer = Renderer(scene, cfg)
     result = benchmark_renderer(renderer, samples=samples, warmup=1)
 

@@ -55,6 +55,21 @@ def main() -> int:
         ("c512", dict(cluster_size=512)),
         ("pb1024", dict(primary_ray_block=1024)),
         ("bounce256", dict(ray_block=256)),
+        ("bounce512", dict(ray_block=512)),
+        # seed-path A/B: force the dense 128-wide chunk global seed even
+        # for small global sets (monkeypatches GLOBAL_SCALAR_MAX)
+        ("seedchunk", dict(_seed_scalar_max=0)),
+        # finer 512-cone direction key: measured ~neutral pre-global-seed
+        # when fixed cost dominated; visits now dominate, so finer
+        # coherence deserves a re-measure
+        ("dir9", dict(sort_key="dir9")),
+        ("bounce64", dict(ray_block=64)),
+        ("c128", dict(cluster_size=128)),
+        # the global seed resolves most shadow occlusion (zero-visit
+        # fraction ~0.83) — the dedicated shadow re-sort may no longer
+        # pay for its two sorts
+        ("noshadowsort", dict(shadow_sort=False)),
+        ("nosort", dict(sort_bounces=False)),
     ]
     if args.variants:
         keep = set(args.variants.split(","))
@@ -63,7 +78,13 @@ def main() -> int:
     scene = get_scene(args.scene, size, size)
     built = {}  # (presplit, cluster_size) -> (data, spec)
 
+    from metal_raytracing_tpu.ops import trace_pallas
+
+    default_scalar_max = trace_pallas.GLOBAL_SCALAR_MAX
     for name, over in variants:
+        over = dict(over)
+        trace_pallas.GLOBAL_SCALAR_MAX = over.pop(
+            "_seed_scalar_max", default_scalar_max)
         cfg = dataclasses.replace(base, **over)
         key = (cfg.bvh_presplit, cfg.cluster_size)
         if key not in built:

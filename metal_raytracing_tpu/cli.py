@@ -57,6 +57,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="enable UV-mapped base-color textures (map_Kd)")
     r.add_argument("--refraction", action="store_true",
                    help="enable dielectric refraction (Ni/d materials)")
+    r.add_argument("--texture-filter", default="nearest",
+                   choices=("nearest", "bilinear"),
+                   help="texture sampling filter (with --textures)")
     r.add_argument("--no-compaction", action="store_true",
                    help="disable live-ray compaction between bounces")
     r.add_argument("--checkpoint", default=None,
@@ -137,6 +140,7 @@ def cmd_render(args) -> int:
         enable_specular=args.specular or scene.name == "coatball",
         enable_emission=args.emission,
         enable_textures=args.textures or scene.name == "uv_test",
+        texture_filter=args.texture_filter,
         enable_refraction=args.refraction or scene.name == "glass_sphere",
         compaction=not args.no_compaction)
 

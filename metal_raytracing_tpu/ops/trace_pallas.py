@@ -315,6 +315,70 @@ def _box_cols(ref):
     return tuple(ref[:, i:i + 1] for i in range(6))
 
 
+# Global sets up to this size seed via scalar-unrolled row tests (one
+# (1, R) Baldwin-Weber evaluation per triangle from SMEM plane scalars);
+# larger sets use the dense 128-wide chunk test.  On paper the scalar
+# path is ~16x fewer vreg-ops for a handful of ground/back planes, but
+# the same-process A/B on dragon 1024^2 measured it slightly SLOWER
+# (297.7 vs 293.5 ms/sample — long scalar SMEM-load dependency chains
+# don't pipeline with the vector work), so the chunk test is the default
+# and the scalar path stays behind this knob (parity-tested in
+# tests/test_trace_pallas.py).
+GLOBAL_SCALAR_MAX = 0
+
+
+def _read_gtri_scalars(gtri_ref, n_global):
+    """Hoist the (G, 12) SMEM plane scalars out of the per-tile loop."""
+    return [[gtri_ref[g, k] for k in range(N_TRI_PLANES)]
+            for g in range(n_global)]
+
+
+def _seed_rows_closest(gts, g_base, o_rows, d_rows, inv_unused, mask_row, r):
+    """Scalar-unrolled global seed: returns ((1,R) key, (1,R) base) rows."""
+    ox, oy, oz = o_rows
+    dx, dy, dz = d_rows
+    krow = jnp.full((1, r), _INIT_KEY, jnp.int32)
+    for g, tri in enumerate(gts):
+        nx, ny, nz, dc, ux, uy, uz, uw, vx, vy, vz, vw = tri
+        den = nx * dx + ny * dy + nz * dz
+        rcp = pl.reciprocal(den, approx=True)
+        rcp = rcp * (2.0 - den * rcp)
+        t = (dc - (nx * ox + ny * oy + nz * oz)) * rcp
+        px = ox + t * dx
+        py = oy + t * dy
+        pz = oz + t * dz
+        u = ux * px + uy * py + uz * pz + uw
+        v = vx * px + vy * py + vz * pz + vw
+        hit = (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t > 1e-6)
+        hit = hit & mask_row
+        ti = jax.lax.bitcast_convert_type(t, jnp.int32)
+        key = (ti & ~IDX_MASK) | g
+        krow = jnp.minimum(krow, jnp.where(hit, key, _INIT_KEY))
+    return krow, jnp.full((1, r), g_base, jnp.int32)
+
+
+def _seed_rows_any(gts, o_rows, d_rows, mask_row, maxt_row, occ0):
+    """Scalar-unrolled global occlusion seed; returns the (1, R) occ row."""
+    ox, oy, oz = o_rows
+    dx, dy, dz = d_rows
+    occ = occ0
+    for tri in gts:
+        nx, ny, nz, dc, ux, uy, uz, uw, vx, vy, vz, vw = tri
+        den = nx * dx + ny * dy + nz * dz
+        rcp = pl.reciprocal(den, approx=True)
+        rcp = rcp * (2.0 - den * rcp)
+        t = (dc - (nx * ox + ny * oy + nz * oz)) * rcp
+        px = ox + t * dx
+        py = oy + t * dy
+        pz = oz + t * dz
+        u = ux * px + uy * py + uz * pz + uw
+        v = vx * px + vy * py + vz * pz + vw
+        hit = ((u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t > 1e-6)
+               & (t <= maxt_row) & mask_row)
+        occ = jnp.maximum(occ, hit.astype(jnp.float32))
+    return occ
+
+
 def _seed_global_closest(g_base, g_chunks, c_size, r, lane, ocol, dcol,
                          mask_col, tri_ref, tri_scratch, tri_sem):
     """Dense-test the global-triangle slots (scene-spanning planes pulled
@@ -332,8 +396,8 @@ def _seed_global_closest(g_base, g_chunks, c_size, r, lane, ocol, dcol,
         ti = jax.lax.bitcast_convert_type(t, jnp.int32)
         key = (ti & ~IDX_MASK) | (j * CHUNK + lane)
         acc = jnp.minimum(acc, jnp.where(hit, key, _INIT_KEY))
-    key0 = jnp.min(acc, axis=1, keepdims=True)
-    return key0, jnp.full((r, 1), g_base, jnp.int32)
+    key0 = jnp.min(acc, axis=1, keepdims=True).T  # (1, R) row
+    return key0, jnp.full((1, r), g_base, jnp.int32)
 
 
 def _seed_global_any(g_base, g_chunks, r, ocol, dcol, mask_col, maxt_col,
@@ -352,11 +416,11 @@ def _seed_global_any(g_base, g_chunks, r, ocol, dcol, mask_col, maxt_col,
 
 def _closest_kernel(*refs,
                     s_per: int, c_size: int, r: int, tb: int,
-                    g_base: int = 0, g_chunks: int = 0,
+                    g_base: int = 0, g_chunks: int = 0, n_global: int = 0,
                     count_visits: bool = False):
   ray_refs = refs[:7]  # ox oy oz dx dy dz maskf
-  sup_ref, clu_ref, tri_ref, t_out_ref, tri_out_ref = refs[7:12]
-  rest = refs[12:]
+  sup_ref, clu_ref, tri_ref, gtri_ref, t_out_ref, tri_out_ref = refs[7:13]
+  rest = refs[13:]
   # Optional telemetry output: clusters visited per ray tile (the traversal
   # cost driver — VERDICT.md round 1 asks for p50/p90 in the bench).
   if count_visits:
@@ -364,6 +428,9 @@ def _closest_kernel(*refs,
   else:
       vis_ref, scratch_refs = None, list(rest)
   tri_scratch, tri_sem = scratch_refs if scratch_refs else (None, None)
+  # Small global sets seed via scalar-unrolled row tests; the SMEM plane
+  # scalars are read ONCE per grid step (loop-invariant).
+  gts = _read_gtri_scalars(gtri_ref, n_global) if n_global else None
   # Several ray tiles per grid step amortize the ~3.3us fixed grid-step
   # cost (DMA + dispatch) that would otherwise dominate the traversal.
   def tile_body(t, _carry):
@@ -409,12 +476,17 @@ def _closest_kernel(*refs,
         score = jnp.min(jnp.where(live, tn_s, BIG_T), axis=1, keepdims=True)
         return jnp.where(visited > 0.0, BIG_T, score)
 
-    def cluster_score(cvis, tn_c, hit_c, best_t):
-        live = hit_c & (tn_c < best_t.T)
+    def cluster_score(cvis, tn_c, hit_c, best_t_row):
+        live = hit_c & (tn_c < best_t_row)
         cscore = jnp.min(jnp.where(live, tn_c, BIG_T), axis=1, keepdims=True)
         return jnp.where(cvis > 0.0, BIG_T, cscore)
 
     def visit_cluster(st):
+        # ``best_key``/``best_base`` are carried as (1, R) ROWS: one vreg
+        # each (a (R, 1) column is 16 mostly-empty vregs copied through
+        # every while_loop iteration), and the score recomputes compare
+        # them against the (S, R) slab rows directly — no per-visit
+        # (R, 1) -> (1, R) transpose.
         (cscore, cvis, tn_c, hit_c, best_key, best_base, c_base, nvis) = st
         k = jnp.argmin(cscore[:, 0])
         cvis = jnp.maximum(cvis, (clu_iota == k).astype(jnp.float32))
@@ -431,7 +503,7 @@ def _closest_kernel(*refs,
             ti = jax.lax.bitcast_convert_type(t, jnp.int32)
             key = (ti & ~IDX_MASK) | (j * CHUNK + lane)
             acc = jnp.minimum(acc, jnp.where(hit, key, _INIT_KEY))
-        vkey = jnp.min(acc, axis=1, keepdims=True)  # the ONE lane reduce
+        vkey = jnp.min(acc, axis=1, keepdims=True).T  # one lane reduce
         upd = vkey < best_key
         best_key = jnp.where(upd, vkey, best_key)
         best_base = jnp.where(upd, base, best_base)
@@ -455,29 +527,32 @@ def _closest_kernel(*refs,
                  s * jnp.int32(s_per), nvis)
         inner = jax.lax.while_loop(cluster_cond, visit_cluster, inner)
         _, _, _, _, best_key, best_base, _, nvis = inner
-        return (sup_score(svis, _key_to_t(best_key).T), svis, best_key,
+        return (sup_score(svis, _key_to_t(best_key)), svis, best_key,
                 best_base, nvis)
 
     def super_cond(st):
         return jnp.min(st[0]) < BIG_T * 0.5
 
     svis0 = jnp.zeros((nsp, 1), jnp.float32)
-    if g_chunks:
+    if n_global:
+        key0, base0 = _seed_rows_closest(gts, g_base, o_rows, d_rows,
+                                         None, mask_row, r)
+    elif g_chunks:
         key0, base0 = _seed_global_closest(
             g_base, g_chunks, c_size, r, lane, ocol, dcol, mask_col,
             tri_ref, tri_scratch, tri_sem)
     else:
-        key0 = jnp.full((r, 1), _INIT_KEY, jnp.int32)
-        base0 = jnp.zeros((r, 1), jnp.int32)
-    init = (sup_score(svis0, _key_to_t(key0).T), svis0, key0, base0,
+        key0 = jnp.full((1, r), _INIT_KEY, jnp.int32)
+        base0 = jnp.zeros((1, r), jnp.int32)
+    init = (sup_score(svis0, _key_to_t(key0)), svis0, key0, base0,
             jnp.zeros((), jnp.float32))
     _, _, best_key, best_base, nvis = jax.lax.while_loop(
         super_cond, visit_super, init)
 
     found = best_key < _MISS_KEY
-    t_out_ref[t, 0, :] = _key_to_t(best_key)[:, 0]
+    t_out_ref[t, 0, :] = _key_to_t(best_key)[0, :]
     tri_out_ref[t, 0, :] = jnp.where(
-        found, best_base + (best_key & IDX_MASK), -1)[:, 0]
+        found, best_base + (best_key & IDX_MASK), -1)[0, :]
     if count_visits:
         vis_ref[t, 0, :] = jnp.full((r,), 1.0, jnp.float32) * nvis
 
@@ -485,16 +560,17 @@ def _closest_kernel(*refs,
 
 
 def _any_kernel(*refs, s_per: int, c_size: int, r: int, tb: int,
-                g_base: int = 0, g_chunks: int = 0,
+                g_base: int = 0, g_chunks: int = 0, n_global: int = 0,
                 count_visits: bool = False):
   ray_refs = refs[:8]  # ox oy oz dx dy dz maskf tmax
-  sup_ref, clu_ref, tri_ref, occ_ref = refs[8:12]
-  rest = refs[12:]
+  sup_ref, clu_ref, tri_ref, gtri_ref, occ_ref = refs[8:13]
+  rest = refs[13:]
   if count_visits:
       vis_ref, *scratch_refs = rest
   else:
       vis_ref, scratch_refs = None, list(rest)
   tri_scratch, tri_sem = scratch_refs if scratch_refs else (None, None)
+  gts = _read_gtri_scalars(gtri_ref, n_global) if n_global else None
   def tile_body(t, _carry):
     any_live = jnp.max(ray_refs[6][t, :][None, :]) > 0.0
 
@@ -578,7 +654,9 @@ def _any_kernel(*refs, s_per: int, c_size: int, r: int, tb: int,
 
     svis0 = jnp.zeros((nsp, 1), jnp.float32)
     occ0 = 1.0 - mask_row.astype(jnp.float32)
-    if g_chunks:
+    if n_global:
+        occ0 = _seed_rows_any(gts, o_rows, d_rows, mask_row, maxt_row, occ0)
+    elif g_chunks:
         occ0 = _seed_global_any(g_base, g_chunks, r, ocol, dcol, mask_col,
                                 maxt_col, occ0, tri_ref, tri_scratch,
                                 tri_sem)
@@ -595,6 +673,7 @@ def _any_kernel(*refs, s_per: int, c_size: int, r: int, tb: int,
 
 def _closest_flat_kernel(*refs, c_size: int, r: int, tb: int,
                          g_base: int = 0, g_chunks: int = 0,
+                         n_global: int = 0,
                          count_visits: bool = False):
   """Single-level traversal: extract-min directly over ALL cluster AABBs.
 
@@ -607,13 +686,15 @@ def _closest_flat_kernel(*refs, c_size: int, r: int, tb: int,
   ~10 ops) — cheap up to ~1k clusters; bigger scenes keep the hierarchy
   (see FLAT_MAX_CLUSTERS)."""
   ray_refs = refs[:7]  # ox oy oz dx dy dz maskf
-  cluf_ref, _clu_unused, tri_ref, t_out_ref, tri_out_ref = refs[7:12]
-  rest = refs[12:]
+  (cluf_ref, _clu_unused, tri_ref, gtri_ref, t_out_ref,
+   tri_out_ref) = refs[7:13]
+  rest = refs[13:]
   if count_visits:
       vis_ref, *scratch_refs = rest
   else:
       vis_ref, scratch_refs = None, list(rest)
   tri_scratch, tri_sem = scratch_refs if scratch_refs else (None, None)
+  gts = _read_gtri_scalars(gtri_ref, n_global) if n_global else None
 
   def tile_body(t, _carry):
     any_live = jnp.max(ray_refs[6][t, :][None, :]) > 0.0
@@ -648,6 +729,7 @@ def _closest_flat_kernel(*refs, c_size: int, r: int, tb: int,
         return jnp.where(cvis > 0.0, BIG_T, sc)
 
     def visit(st):
+        # best state carried as (1, R) rows — see _closest_kernel
         sc, cvis, best_key, best_base, nvis = st
         k = jnp.argmin(sc[:, 0])
         cvis = jnp.maximum(cvis, (clu_iota == k).astype(jnp.float32))
@@ -663,32 +745,35 @@ def _closest_flat_kernel(*refs, c_size: int, r: int, tb: int,
             ti = jax.lax.bitcast_convert_type(tt, jnp.int32)
             key = (ti & ~IDX_MASK) | (j * CHUNK + lane)
             acc = jnp.minimum(acc, jnp.where(hit, key, _INIT_KEY))
-        vkey = jnp.min(acc, axis=1, keepdims=True)  # one lane reduce
+        vkey = jnp.min(acc, axis=1, keepdims=True).T  # one lane reduce
         upd = vkey < best_key
         best_key = jnp.where(upd, vkey, best_key)
         best_base = jnp.where(upd, base, best_base)
-        return (score(cvis, _key_to_t(best_key).T), cvis, best_key,
+        return (score(cvis, _key_to_t(best_key)), cvis, best_key,
                 best_base, nvis + 1.0)
 
     def cond(st):
         return jnp.min(st[0]) < BIG_T * 0.5
 
     cvis0 = jnp.zeros((ncp, 1), jnp.float32)
-    if g_chunks:
+    if n_global:
+        key0, base0 = _seed_rows_closest(gts, g_base, o_rows, d_rows,
+                                         None, mask_row, r)
+    elif g_chunks:
         key0, base0 = _seed_global_closest(
             g_base, g_chunks, c_size, r, lane, ocol, dcol, mask_col,
             tri_ref, tri_scratch, tri_sem)
     else:
-        key0 = jnp.full((r, 1), _INIT_KEY, jnp.int32)
-        base0 = jnp.zeros((r, 1), jnp.int32)
-    init = (score(cvis0, _key_to_t(key0).T), cvis0, key0, base0,
+        key0 = jnp.full((1, r), _INIT_KEY, jnp.int32)
+        base0 = jnp.zeros((1, r), jnp.int32)
+    init = (score(cvis0, _key_to_t(key0)), cvis0, key0, base0,
             jnp.zeros((), jnp.float32))
     _, _, best_key, best_base, nvis = jax.lax.while_loop(cond, visit, init)
 
     found = best_key < _MISS_KEY
-    t_out_ref[t, 0, :] = _key_to_t(best_key)[:, 0]
+    t_out_ref[t, 0, :] = _key_to_t(best_key)[0, :]
     tri_out_ref[t, 0, :] = jnp.where(
-        found, best_base + (best_key & IDX_MASK), -1)[:, 0]
+        found, best_base + (best_key & IDX_MASK), -1)[0, :]
     if count_visits:
         vis_ref[t, 0, :] = jnp.full((r,), 1.0, jnp.float32) * nvis
 
@@ -696,17 +781,18 @@ def _closest_flat_kernel(*refs, c_size: int, r: int, tb: int,
 
 
 def _any_flat_kernel(*refs, c_size: int, r: int, tb: int,
-                     g_base: int = 0, g_chunks: int = 0,
+                     g_base: int = 0, g_chunks: int = 0, n_global: int = 0,
                      count_visits: bool = False):
   """Single-level any-hit walk; see :func:`_closest_flat_kernel`."""
   ray_refs = refs[:8]  # ox oy oz dx dy dz maskf tmax
-  cluf_ref, _clu_unused, tri_ref, occ_ref = refs[8:12]
-  rest = refs[12:]
+  cluf_ref, _clu_unused, tri_ref, gtri_ref, occ_ref = refs[8:13]
+  rest = refs[13:]
   if count_visits:
       vis_ref, *scratch_refs = rest
   else:
       vis_ref, scratch_refs = None, list(rest)
   tri_scratch, tri_sem = scratch_refs if scratch_refs else (None, None)
+  gts = _read_gtri_scalars(gtri_ref, n_global) if n_global else None
 
   def tile_body(t, _carry):
     any_live = jnp.max(ray_refs[6][t, :][None, :]) > 0.0
@@ -759,7 +845,9 @@ def _any_flat_kernel(*refs, c_size: int, r: int, tb: int,
 
     cvis0 = jnp.zeros((ncp, 1), jnp.float32)
     occ0 = 1.0 - mask_row.astype(jnp.float32)
-    if g_chunks:
+    if n_global:
+        occ0 = _seed_rows_any(gts, o_rows, d_rows, mask_row, maxt_row, occ0)
+    elif g_chunks:
         occ0 = _seed_global_any(g_base, g_chunks, r, ocol, dcol, mask_col,
                                 maxt_col, occ0, tri_ref, tri_scratch,
                                 tri_sem)
@@ -807,7 +895,7 @@ def _tiles_per_step(nb: int, want: int = 8) -> int:
 
 
 def _pallas_trace(kernel, out_shapes, out_specs, ray_comps,
-                  sup, clu, tri, n_steps, tb, block, stream, c_size):
+                  sup, clu, tri, gtri, n_steps, tb, block, stream, c_size):
     grid_spec = pl.GridSpec(
         grid=(n_steps,),
         in_specs=[
@@ -819,6 +907,8 @@ def _pallas_trace(kernel, out_shapes, out_specs, ray_comps,
             pl.BlockSpec(memory_space=pltpu.VMEM),  # cluster planes
             # triangle planes: VMEM-resident, or HBM-streamed per visit
             pl.BlockSpec(memory_space=pl.ANY if stream else pltpu.VMEM),
+            # global-triangle plane scalars (G, 12) for the seed unroll
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=out_specs,
         scratch_shapes=(
@@ -830,7 +920,7 @@ def _pallas_trace(kernel, out_shapes, out_specs, ray_comps,
         grid_spec=grid_spec,
         out_shape=out_shapes,
         interpret=_should_interpret(),
-    )(*ray_comps, sup, clu, tri)
+    )(*ray_comps, sup, clu, tri, gtri)
 
 
 def _should_stream(tri) -> bool:
@@ -914,7 +1004,18 @@ def trace_closest(o, d, mask, sup, clu, tri, spec: BVHSpec,
     if stream:
         tri = jnp.pad(tri, ((0, 16 - N_TRI_PLANES), (0, 0)))
 
-    gkw = dict(g_base=spec.global_base, g_chunks=spec.padded_global // CHUNK)
+    # Seed-path selection: scalar unroll for a handful of globals, dense
+    # chunk test for large sets, nothing when the scene has none.
+    ng = spec.num_global
+    scalar_seed = 0 < ng <= GLOBAL_SCALAR_MAX
+    gkw = dict(g_base=spec.global_base,
+               g_chunks=0 if scalar_seed else spec.padded_global // CHUNK,
+               n_global=ng if scalar_seed else 0)
+    if ng:
+        gtri = tri[0:N_TRI_PLANES,
+                   spec.global_base:spec.global_base + ng].T  # (G, 12)
+    else:
+        gtri = jnp.zeros((1, N_TRI_PLANES), jnp.float32)
     if _use_flat(spec, flat):
         sup = _flat_cluster_planes(clu)  # flat kernels slab ALL clusters
         kernel = functools.partial(_closest_flat_kernel,
@@ -939,7 +1040,7 @@ def trace_closest(o, d, mask, sup, clu, tri, spec: BVHSpec,
         out_specs += (pl.BlockSpec((tb, 1, block), lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM),)
     out = _pallas_trace(kernel, out_shapes, out_specs, ray_comps, sup,
-                        clu, tri, n_steps, tb, block, stream,
+                        clu, tri, gtri, n_steps, tb, block, stream,
                         spec.cluster_size)
     t_chop = out[0].reshape(n)
     tri_id = out[1].reshape(n)
@@ -983,7 +1084,18 @@ def trace_any(o, d, max_t, mask, sup, clu, tri, spec: BVHSpec,
     if stream:
         tri = jnp.pad(tri, ((0, 16 - N_TRI_PLANES), (0, 0)))
 
-    gkw = dict(g_base=spec.global_base, g_chunks=spec.padded_global // CHUNK)
+    # Seed-path selection: scalar unroll for a handful of globals, dense
+    # chunk test for large sets, nothing when the scene has none.
+    ng = spec.num_global
+    scalar_seed = 0 < ng <= GLOBAL_SCALAR_MAX
+    gkw = dict(g_base=spec.global_base,
+               g_chunks=0 if scalar_seed else spec.padded_global // CHUNK,
+               n_global=ng if scalar_seed else 0)
+    if ng:
+        gtri = tri[0:N_TRI_PLANES,
+                   spec.global_base:spec.global_base + ng].T  # (G, 12)
+    else:
+        gtri = jnp.zeros((1, N_TRI_PLANES), jnp.float32)
     if _use_flat(spec, flat):
         sup = _flat_cluster_planes(clu)  # flat kernels slab ALL clusters
         kernel = functools.partial(_any_flat_kernel,
@@ -1003,7 +1115,7 @@ def trace_any(o, d, max_t, mask, sup, clu, tri, spec: BVHSpec,
     out = _pallas_trace(
         kernel, out_shapes if count_visits else out_shapes[0],
         out_specs if count_visits else out_specs[0],
-        ray_comps, sup, clu, tri, n_steps, tb, block, stream,
+        ray_comps, sup, clu, tri, gtri, n_steps, tb, block, stream,
         spec.cluster_size)
     if count_visits:
         return out[0].reshape(n) > 0, out[1][:, 0, 0]

@@ -411,10 +411,35 @@ def render_rays(
             fv = v_t - jnp.floor(v_t)
             mid = row[:, 15].astype(jnp.int32)
             hw = data.tex_hw[mid]  # (N, 2)
-            xi = jnp.clip((fu * hw[:, 1]).astype(jnp.int32), 0, hw[:, 1] - 1)
-            yi = jnp.clip(((1.0 - fv) * hw[:, 0]).astype(jnp.int32),
-                          0, hw[:, 0] - 1)
-            base_color = base_color * data.tex_stack[mid, yi, xi]
+            if cfg.texture_filter == "bilinear":
+                # texel-center convention: sample at (u*W - 0.5, v*H - 0.5)
+                # and lerp the 2x2 neighborhood (4 gathers; the nearest
+                # path below pays 1) — clamped at edges, matching the
+                # wrap-at-UV / clamp-at-texel addressing of the nearest
+                # path so the two filters agree at texel centers.
+                x = fu * hw[:, 1] - 0.5
+                y = (1.0 - fv) * hw[:, 0] - 0.5
+                x0 = jnp.floor(x)
+                y0 = jnp.floor(y)
+                wx = (x - x0)[:, None]
+                wy = (y - y0)[:, None]
+                x0i = jnp.clip(x0.astype(jnp.int32), 0, hw[:, 1] - 1)
+                x1i = jnp.clip(x0.astype(jnp.int32) + 1, 0, hw[:, 1] - 1)
+                y0i = jnp.clip(y0.astype(jnp.int32), 0, hw[:, 0] - 1)
+                y1i = jnp.clip(y0.astype(jnp.int32) + 1, 0, hw[:, 0] - 1)
+                t00 = data.tex_stack[mid, y0i, x0i]
+                t01 = data.tex_stack[mid, y0i, x1i]
+                t10 = data.tex_stack[mid, y1i, x0i]
+                t11 = data.tex_stack[mid, y1i, x1i]
+                texel = ((t00 * (1 - wx) + t01 * wx) * (1 - wy)
+                         + (t10 * (1 - wx) + t11 * wx) * wy)
+            else:
+                xi = jnp.clip((fu * hw[:, 1]).astype(jnp.int32),
+                              0, hw[:, 1] - 1)
+                yi = jnp.clip(((1.0 - fv) * hw[:, 0]).astype(jnp.int32),
+                              0, hw[:, 0] - 1)
+                texel = data.tex_stack[mid, yi, xi]
+            base_color = base_color * texel
 
         if cfg.enable_emission:
             mid = row[:, 15].astype(jnp.int32)

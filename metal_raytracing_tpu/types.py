@@ -292,6 +292,10 @@ class RenderConfig:
     # Base-color textures (UV-mapped map_Kd modulation; the reference
     # parses texcoords but never shades them — deliberate extension)
     enable_textures: bool = False
+    # Texture minification/magnification filter: "nearest" (one gather per
+    # hit) or "bilinear" (four gathers + lerp; the reference ships a
+    # mipmapped ColorMap asset it never samples — SURVEY.md §2d)
+    texture_filter: str = "nearest"
     env_map: bool = False
     # Traversal telemetry: adds per-bounce clusters-visited arrays to the
     # render stats (pallas tracer only; compiles a separate instrumented

@@ -127,13 +127,28 @@ def test_mtl_map_kd_parsed(tmp_path):
 def test_textured_pallas_parity_on_clean_geometry():
     """Pallas (interpret) vs bvh with textures on, on the procedural quad.
 
-    The file-loaded uv_test building is thin grazing geometry where the
-    packed key's <= 2^-14-relative chopped t consumes a visible fraction
-    of the 1e-3 shadow offset (pallas-vs-bvh RMSE ~1e-2 there even
-    untextured); the clean quad stays inside the standard parity budget.
+    (The file-loaded uv_test building also passes the < 1e-3 bar now that
+    the shade pass recomputes the exact hit distance — see
+    test_trace_pallas.py::test_pallas_uv_test_parity.)
     """
     on_bvh = Renderer(_proc_scene(), _textured_cfg(
         cluster_size=128)).render(2)
     on_pal = Renderer(_proc_scene(), _textured_cfg(
         tracer="pallas", cluster_size=128)).render(2)
     assert rmse(on_bvh, on_pal) < 1e-3
+
+
+def test_bilinear_filter_smooths_and_agrees_at_centers():
+    """cfg.texture_filter="bilinear": 4-tap lerp (the reference ships a
+    mipmapped texture asset it never samples; filtering is our deliberate
+    extension past nearest).  Bilinear must (a) change the image vs
+    nearest on a checkerboard, (b) stay within the scene's dynamic range,
+    and (c) remain tracer-independent."""
+    near = Renderer(_proc_scene(), _textured_cfg()).render(2)
+    bil = Renderer(_proc_scene(), _textured_cfg(
+        texture_filter="bilinear")).render(2)
+    assert rmse(near, bil) > 1e-4  # filtering actually changes texels
+    assert bil.min() >= 0.0 and bil.max() <= near.max() + 1e-4
+    brute = Renderer(_proc_scene(), _textured_cfg(
+        texture_filter="bilinear", tracer="bruteforce")).render(2)
+    assert rmse(bil, brute) == 0.0

@@ -147,3 +147,33 @@ def test_pallas_streamed_matches_resident(scene_data):
                           data.clu_planes, data.tri_planes, spec.bvh,
                           block=128, stream=True)
     np.testing.assert_array_equal(np.asarray(strm_a), np.asarray(res_a))
+
+
+def test_pallas_scalar_seed_matches_chunk_seed(scene_data, monkeypatch):
+    """The scalar-unrolled global seed (GLOBAL_SCALAR_MAX knob; SMEM plane
+    scalars x (1, R) row tests) must agree with the default dense-chunk
+    seed — plane_sphere carries 2 real global triangles, so both paths
+    actually run the seed.  The scalar path measured slightly slower on
+    TPU (297.7 vs 293.5 ms/sample, dragon 1024^2) and is kept as a knob;
+    this test keeps it from rotting."""
+    data, spec = scene_data
+    assert spec.bvh.num_global > 0  # the seed paths are actually exercised
+    o, d = _rays(256, seed=11)
+    mask = jnp.ones((256,), bool)
+    chunk = TP.trace_closest(o, d, mask, data.sup_planes, data.clu_planes,
+                             data.tri_planes, spec.bvh, block=128)
+    monkeypatch.setattr(TP, "GLOBAL_SCALAR_MAX", 16)
+    scal = TP.trace_closest(o, d, mask, data.sup_planes, data.clu_planes,
+                            data.tri_planes, spec.bvh, block=128)
+    np.testing.assert_array_equal(np.asarray(scal.tri), np.asarray(chunk.tri))
+    np.testing.assert_array_equal(np.asarray(scal.t), np.asarray(chunk.t))
+    max_t = jnp.full((256,), 4.0)
+    monkeypatch.setattr(TP, "GLOBAL_SCALAR_MAX", 0)
+    chunk_a = TP.trace_any(o, d, max_t, mask, data.sup_planes,
+                           data.clu_planes, data.tri_planes, spec.bvh,
+                           block=128)
+    monkeypatch.setattr(TP, "GLOBAL_SCALAR_MAX", 16)
+    scal_a = TP.trace_any(o, d, max_t, mask, data.sup_planes,
+                          data.clu_planes, data.tri_planes, spec.bvh,
+                          block=128)
+    np.testing.assert_array_equal(np.asarray(scal_a), np.asarray(chunk_a))
