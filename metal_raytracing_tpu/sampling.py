@@ -24,9 +24,13 @@ PRIMES = np.array([
 ], dtype=np.int32)
 
 # Halton indices are offset + frame_index where offset < 2^20
-# (reference: Renderer.swift:263-270) and frame_index is bounded by the sample
-# count; 2^26 gives generous headroom for the digit-count bound below.
-_MAX_INDEX_BITS = 26
+# (reference: Renderer.swift:263-270) and frame_index is bounded by the
+# sample count; 2^22 leaves > 2M-sample headroom over the 2^21 offset cap
+# below while keeping the fixed digit counts (and hence the digit-loop
+# trip counts) ~20% shorter than the old 2^26 bound.  The f32 digit loop
+# in :func:`halton` additionally RELIES on indices < 2^22: that is what
+# bounds the floor(x/b) rounding error under one (see the proof inline).
+_MAX_INDEX_BITS = 22
 _MAX_INDEX = 1 << _MAX_INDEX_BITS
 
 
@@ -65,17 +69,34 @@ def halton(i: jnp.ndarray, d: int) -> jnp.ndarray:
     if b == 2:
         return _halton_base2(i)
     n_digits = int(np.ceil(np.log(_MAX_INDEX) / np.log(b)))
+    # All-f32 digit loop: int32 divide/multiply lower to multi-pass
+    # magic-number sequences on the TPU VPU, while f32 mul/floor/select
+    # are single-pass.  Exactness: indices are < 2^22 (_MAX_INDEX) so x
+    # and every quotient is an exact f32 integer; x*inv_b carries
+    # <= x * 2^-23 < 0.5 absolute error, so floor(x*inv_b) is off by at
+    # most ONE either way and the single correction below repairs it; the
+    # products q*b of exact integers < 2^24 are themselves exact, so the
+    # recovered digit is the exact integer remainder.  Digit VALUES are
+    # therefore bit-identical to the reference's integer loop
+    # (Raytracing.metal:41-56), and the f *= 1/b accumulation order is
+    # unchanged, so the result bits are too.
     inv_b = jnp.float32(1.0) / jnp.float32(b)
+    bf = jnp.float32(b)
+    x = i.astype(jnp.float32)
     f = jnp.full(i.shape, 1.0, jnp.float32)
     r = jnp.zeros(i.shape, jnp.float32)
     for _ in range(n_digits):
         f = f * inv_b
-        # One constant division per digit: the remainder comes from the
-        # quotient (i - q*b) instead of a second magic-number divide —
-        # integer multiplies are the expensive op on the TPU's f32 VPU.
-        q = i // b
-        r = r + f * (i - q * b).astype(jnp.float32)
-        i = q
+        q = jnp.floor(x * inv_b)
+        dig = x - q * bf
+        low = dig < 0.0  # q one too large
+        q = jnp.where(low, q - 1.0, q)
+        dig = jnp.where(low, dig + bf, dig)
+        high = dig >= bf  # q one too small
+        q = jnp.where(high, q + 1.0, q)
+        dig = jnp.where(high, dig - bf, dig)
+        r = r + f * dig
+        x = q
     return r
 
 
@@ -130,9 +151,9 @@ def pixel_decorrelation_offsets(key, shape, bits: int = 20) -> jnp.ndarray:
     index): the fixed digit counts silently drop digits past it."""
     import jax
 
-    if bits > 22:
+    if bits > 21:
         raise ValueError(
             f"rand_offset_bits {bits} leaves no frame-index headroom under "
-            f"the Halton digit bound 2^{_MAX_INDEX_BITS} (and would break "
-            f"the exact base-2 bit-reversal past 2^24)")
+            f"the Halton digit/exactness bound 2^{_MAX_INDEX_BITS} "
+            f"(offset + frame index must stay below it)")
     return jax.random.randint(key, shape, 0, 1 << bits, dtype=jnp.int32)

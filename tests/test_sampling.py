@@ -23,7 +23,11 @@ def halton_scalar(i: int, d: int) -> float:
 
 @pytest.mark.parametrize("d", [0, 1, 2, 7, 50, 99])
 def test_halton_matches_scalar_reference(d):
-    idx = np.array([0, 1, 2, 3, 17, 100, 12345, (1 << 20) + 9, (1 << 24) + 5])
+    # index range: offsets < 2^20 (guard in pixel_decorrelation_offsets)
+    # plus a bounded frame index — 2^21+5 probes past every real index;
+    # sampling._MAX_INDEX (2^22) is the supported ceiling
+    idx = np.array([0, 1, 2, 3, 17, 100, 12345, (1 << 20) + 9, (1 << 21) + 5,
+                    (1 << 22) - 1])
     ours = np.asarray(sampling.halton(jnp.asarray(idx), d))
     expected = np.array([halton_scalar(int(i), d) for i in idx], np.float32)
     np.testing.assert_allclose(ours, expected, rtol=0, atol=2e-7)
@@ -76,3 +80,34 @@ def test_pixel_offsets_range():
     o = np.asarray(offs)
     assert o.min() >= 0 and o.max() < (1 << 20)
     assert len(np.unique(o)) > 900  # decorrelated
+
+
+@pytest.mark.parametrize("d", [1, 2, 3, 4, 7, 20, 99])
+def test_halton_f32_digit_loop_exact_remainders(d):
+    """The all-f32 digit loop (floor(x/b) + one-ulp correction) must
+    produce bit-identical results to exact integer digit math over the
+    whole supported index range [0, 2^22) — this is what licenses the
+    TPU-side replacement of magic-number int divides.  Random coverage
+    plus the hostile boundary cases (exact multiples of b and their
+    neighbors, where a floor off-by-one would flip a digit)."""
+    b = int(sampling.PRIMES[d])
+    rng = np.random.RandomState(d)
+    idx = rng.randint(0, sampling._MAX_INDEX, size=20000)
+    mult = (np.arange(1, 2000) * b * 37) % sampling._MAX_INDEX
+    idx = np.concatenate([idx, mult, mult + 1, mult - 1,
+                          [0, 1, b, b - 1, b + 1, sampling._MAX_INDEX - 1]])
+    idx = idx.astype(np.int64)
+
+    # exact integer-math reference, vectorized (f32 accumulation order
+    # identical to the reference scalar loop)
+    n_digits = int(np.ceil(np.log(sampling._MAX_INDEX) / np.log(b)))
+    inv_b = np.float32(1.0) / np.float32(b)
+    f = np.float32(1.0)
+    r = np.zeros(idx.shape, np.float32)
+    ii = idx.copy()
+    for _ in range(n_digits):
+        f = np.float32(f * inv_b)
+        r = (r + f * (ii % b).astype(np.float32)).astype(np.float32)
+        ii //= b
+    ours = np.asarray(sampling.halton(jnp.asarray(idx, jnp.int32), d))
+    np.testing.assert_array_equal(ours, r)
