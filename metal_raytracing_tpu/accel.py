@@ -31,7 +31,8 @@ import dataclasses
 import numpy as np
 
 __all__ = ["BVHSpec", "morton_codes_3d", "build_cluster_bvh",
-           "sah_split_order", "median_split_order", "presplit_references"]
+           "sah_split_order", "median_split_order", "sah_free_clusters",
+           "presplit_references"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -209,6 +210,85 @@ def sah_split_order(
         stack.append(ids[part[:best_k]])
     assert pos == t
     return out
+
+
+def sah_free_clusters(
+    tri_lo: np.ndarray,
+    tri_hi: np.ndarray,
+    centroids: np.ndarray,
+    cluster_size: int,
+    n_bins: int = 32,
+) -> list:
+    """Unquantized cluster-granular SAH: returns a LIST of per-cluster
+    reference-index arrays, each of length <= ``cluster_size``.
+
+    Unlike :func:`sah_split_order`, split positions are NOT snapped to
+    ``cluster_size`` multiples — clusters may be partially full (the leaf
+    dense test pads them with degenerate never-hit triangles, scene.py
+    ``permute``).  The cost model follows the actual traversal cost unit:
+    a cluster VISIT costs the same 3-chunk dense test whether the cluster
+    holds 50 or 384 triangles, so each candidate split is scored as
+    ``SA(left) * ceil(n_left / c) + SA(right) * ceil(n_right / c)`` —
+    minimizing the surface-area-weighted number of clusters a ray can
+    enter, which is exactly the bounce-visit count that dominates the
+    traversal time (VERDICT round-3 item #3; the reference gets its AS
+    quality from Metal's closed-source build, Renderer.swift:185-191).
+    DFS emission order preserves spatial locality for the super grouping.
+    """
+    c = cluster_size
+    clusters: list = []
+    stack = [np.arange(centroids.shape[0], dtype=np.int64)]
+    while stack:
+        ids = stack.pop()
+        if len(ids) <= c:
+            clusters.append(ids)
+            continue
+        pts = centroids[ids]
+        lo = pts.min(axis=0)
+        hi = pts.max(axis=0)
+        ext = hi - lo
+        n_here = len(ids)
+
+        best_cost = np.inf
+        best_axis = -1
+        best_k = 0
+        for axis in range(3):
+            if ext[axis] <= 1e-12:
+                continue
+            rel = np.clip(((pts[:, axis] - lo[axis]) / ext[axis]
+                           * n_bins).astype(np.int64), 0, n_bins - 1)
+            counts = np.bincount(rel, minlength=n_bins)
+            bl = np.full((n_bins, 3), np.inf)
+            bh = np.full((n_bins, 3), -np.inf)
+            np.minimum.at(bl, rel, tri_lo[ids])
+            np.maximum.at(bh, rel, tri_hi[ids])
+            pre_lo = np.minimum.accumulate(bl, axis=0)
+            pre_hi = np.maximum.accumulate(bh, axis=0)
+            suf_lo = np.minimum.accumulate(bl[::-1], axis=0)[::-1]
+            suf_hi = np.maximum.accumulate(bh[::-1], axis=0)[::-1]
+            pre_n = np.cumsum(counts)
+            ln = pre_n[:-1]
+            rn = n_here - ln
+            # cluster-granular SAH: SA-weighted cluster counts
+            cost = (_surface_area(pre_lo[:-1], pre_hi[:-1]) * np.ceil(ln / c)
+                    + _surface_area(suf_lo[1:], suf_hi[1:]) * np.ceil(rn / c))
+            valid = (ln >= 1) & (rn >= 1)
+            if not valid.any():
+                continue
+            cost = np.where(valid, cost, np.inf)
+            b = int(np.argmin(cost))
+            if cost[b] < best_cost:
+                best_cost = cost[b]
+                best_axis = axis
+                best_k = int(ln[b])
+        if best_axis < 0:
+            # degenerate spread (all centroids coincident): halve by count
+            best_axis = int(np.argmax(ext))
+            best_k = n_here // 2
+        part = np.argpartition(pts[:, best_axis], best_k)
+        stack.append(ids[part[best_k:]])  # right pushed first -> left first
+        stack.append(ids[part[:best_k]])
+    return clusters
 
 
 def _clip_polygon_axis(poly: np.ndarray, axis: int, value: float,
@@ -404,31 +484,47 @@ def build_cluster_bvh(
 
     scene_lo = ref_lo.min(axis=0)
     scene_hi = ref_hi.max(axis=0)
-    if builder == "sah":
-        order = sah_split_order(ref_lo, ref_hi,
-                                np.ascontiguousarray(centroids), c)
-    elif builder == "median":
-        order = median_split_order(np.ascontiguousarray(centroids), c)
-    elif builder == "morton":
-        codes = morton_codes_3d(centroids, scene_lo, scene_hi)
-        order = np.argsort(codes, kind="stable").astype(np.int64)
+    if builder == "sah_free":
+        # Cluster-granular SAH: list of (possibly partially-full) clusters;
+        # every cluster's tail pads with -1 (degenerate never-hit slots).
+        groups = sah_free_clusters(ref_lo, ref_hi,
+                                   np.ascontiguousarray(centroids), c)
+        num_clusters = len(groups)
+        padded = num_clusters * c
+        order_padded = np.full(padded + padded_global, -1, np.int64)
+        cluster_lo = np.full((num_clusters, 3), np.inf)
+        cluster_hi = np.full((num_clusters, 3), -np.inf)
+        for ci, ids in enumerate(groups):
+            order_padded[ci * c : ci * c + len(ids)] = src[ids]
+            cluster_lo[ci] = ref_lo[ids].min(axis=0)
+            cluster_hi[ci] = ref_hi[ids].max(axis=0)
+        order_padded[padded:padded + n_global] = global_ids
     else:
-        raise ValueError(f"unknown builder {builder!r}")
+        if builder == "sah":
+            order = sah_split_order(ref_lo, ref_hi,
+                                    np.ascontiguousarray(centroids), c)
+        elif builder == "median":
+            order = median_split_order(np.ascontiguousarray(centroids), c)
+        elif builder == "morton":
+            codes = morton_codes_3d(centroids, scene_lo, scene_hi)
+            order = np.argsort(codes, kind="stable").astype(np.int64)
+        else:
+            raise ValueError(f"unknown builder {builder!r}")
 
-    num_clusters = -(-n_refs // c)
-    padded = num_clusters * c
-    # slot layout: [clustered refs (num_clusters * c) | global slots]
-    order_padded = np.full(padded + padded_global, -1, np.int64)
-    order_padded[:n_refs] = src[order]
-    order_padded[padded:padded + n_global] = global_ids
+        num_clusters = -(-n_refs // c)
+        padded = num_clusters * c
+        # slot layout: [clustered refs (num_clusters * c) | global slots]
+        order_padded = np.full(padded + padded_global, -1, np.int64)
+        order_padded[:n_refs] = src[order]
+        order_padded[padded:padded + n_global] = global_ids
 
-    # Per-cluster AABBs over the sorted references; padding slots are empty.
-    lo_sorted = np.full((padded, 3), np.inf)
-    hi_sorted = np.full((padded, 3), -np.inf)
-    lo_sorted[:n_refs] = ref_lo[order]
-    hi_sorted[:n_refs] = ref_hi[order]
-    cluster_lo = lo_sorted.reshape(num_clusters, c, 3).min(axis=1)
-    cluster_hi = hi_sorted.reshape(num_clusters, c, 3).max(axis=1)
+        # Per-cluster AABBs over the sorted references; padding is empty.
+        lo_sorted = np.full((padded, 3), np.inf)
+        hi_sorted = np.full((padded, 3), -np.inf)
+        lo_sorted[:n_refs] = ref_lo[order]
+        hi_sorted[:n_refs] = ref_hi[order]
+        cluster_lo = lo_sorted.reshape(num_clusters, c, 3).min(axis=1)
+        cluster_hi = hi_sorted.reshape(num_clusters, c, 3).max(axis=1)
 
     # Implicit complete B-ary tree sizing.
     levels = 0

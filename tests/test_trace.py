@@ -76,11 +76,14 @@ def _random_soup(n=1000, seed=0):
     return v0, e1, e2
 
 
-@pytest.mark.parametrize("branching,cluster", [(2, 16), (8, 64), (4, 32)])
-def test_bvh_invariants(branching, cluster):
+@pytest.mark.parametrize("branching,cluster,builder", [
+    (2, 16, "sah"), (8, 64, "sah"), (4, 32, "sah"),
+    (8, 64, "sah_free"), (4, 32, "sah_free")])
+def test_bvh_invariants(branching, cluster, builder):
     v0, e1, e2 = _random_soup(777)
     order, node_lo, node_hi, spec = accel.build_cluster_bvh(
-        v0, e1, e2, cluster_size=cluster, branching=branching)
+        v0, e1, e2, cluster_size=cluster, branching=branching,
+        builder=builder)
     # every real triangle appears exactly once (clustered or global slots)
     real = order[order >= 0]
     assert sorted(real.tolist()) == list(range(777))
@@ -207,6 +210,30 @@ def test_packet_matches_bruteforce_closest(cluster, branching):
     # Slot ids may differ between tracers where the SBVH pre-split
     # duplicated a triangle (equal-t ties across duplicate references);
     # the SOURCE triangle must agree.
+    src = np.asarray(data.tri_src)
+    np.testing.assert_array_equal(src[np.asarray(got.tri)[hits]],
+                                  src[np.asarray(ref.tri)[hits]])
+
+
+def test_sah_free_packet_matches_bruteforce():
+    """The unquantized (partially-full-cluster) builder must trace
+    identically to the oracle: interspersed -1 padding slots become
+    degenerate triangles and cluster boxes still bound their refs."""
+    scene = plane_sphere_scene(32, 32)
+    data, spec = scene.build(cluster_size=64, branching=8,
+                             builder="sah_free")
+    o, d = _random_rays(512)
+    mask = jnp.ones((512,), bool)
+    ref = jax.jit(lambda o, d: T.trace_closest_bruteforce(
+        o, d, mask, data.geometry))(o, d)
+    got = jax.jit(lambda o, d: T.trace_closest(
+        o, d, mask, data.geometry, data.node_lo, data.node_hi, spec.bvh,
+        block=128))(o, d)
+    np.testing.assert_array_equal(np.asarray(got.tri >= 0),
+                                  np.asarray(ref.tri >= 0))
+    hits = np.asarray(ref.tri >= 0)
+    np.testing.assert_allclose(np.asarray(got.t)[hits],
+                               np.asarray(ref.t)[hits], rtol=1e-5)
     src = np.asarray(data.tri_src)
     np.testing.assert_array_equal(src[np.asarray(got.tri)[hits]],
                                   src[np.asarray(ref.tri)[hits]])
