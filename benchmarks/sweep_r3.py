@@ -59,6 +59,10 @@ def main() -> int:
         # seed-path A/B: force the dense 128-wide chunk global seed even
         # for small global sets (monkeypatches GLOBAL_SCALAR_MAX)
         ("seedchunk", dict(_seed_scalar_max=0)),
+        # scalar seed with the plane rows as jit-time IMMEDIATE constants
+        # (BVHSpec.global_planes) — no SMEM load chains, the suspected
+        # cause of the SMEM-scalar variant's loss
+        ("seedconst", dict(_seed_scalar_max=8)),
         # finer 512-cone direction key: measured ~neutral pre-global-seed
         # when fixed cost dominated; visits now dominate, so finer
         # coherence deserves a re-measure

@@ -56,6 +56,13 @@ class BVHSpec:
     # the closest-hit distance for tighter cluster culling.
     num_global: int = 0  # real global triangles
     padded_global: int = 0  # global slots (128-multiple, 0 when none)
+    # Baldwin-Weber plane rows [n(3), n.v0, U(3), uw, V(3), vw] of the
+    # global triangles as PLAIN FLOATS: the spec is a static jit argument,
+    # so these become immediate constants inside the Pallas kernels — the
+    # scalar-unrolled global seed then needs no SMEM loads at all (the
+    # SMEM-load dependency chains were what made the round-3 scalar-seed
+    # A/B measure slower than the dense chunk test).
+    global_planes: tuple = ()  # tuple of 12-float tuples, len == num_global
 
     @property
     def global_base(self) -> int:
@@ -549,6 +556,25 @@ def build_cluster_bvh(
         node_lo[start : start + count] = child_lo.reshape(count, b, 3).min(axis=1)
         node_hi[start : start + count] = child_hi.reshape(count, b, 3).max(axis=1)
 
+    # Host-side Baldwin-Weber plane rows for the global set (same f32 op
+    # order as ops.trace_pallas.pack_triangle_planes so the constant-seed
+    # and dense-chunk paths agree bit-for-bit).
+    g_planes = ()
+    if n_global:
+        gv0 = v0[global_ids].astype(np.float32)
+        ge1 = e1[global_ids].astype(np.float32)
+        ge2 = e2[global_ids].astype(np.float32)
+        gn = np.cross(ge1, ge2).astype(np.float32)
+        nn = np.sum(gn * gn, axis=-1, keepdims=True, dtype=np.float32)
+        nn = np.where(nn < 1e-30, np.float32(1.0), nn)
+        u3 = (np.cross(ge2, gn).astype(np.float32) / nn).astype(np.float32)
+        v3 = (np.cross(gn, ge1).astype(np.float32) / nn).astype(np.float32)
+        dc = np.sum(gn * gv0, axis=-1, keepdims=True, dtype=np.float32)
+        uw = -np.sum(u3 * gv0, axis=-1, keepdims=True, dtype=np.float32)
+        vw = -np.sum(v3 * gv0, axis=-1, keepdims=True, dtype=np.float32)
+        rows = np.concatenate([gn, dc, u3, uw, v3, vw], axis=1)
+        g_planes = tuple(tuple(float(x) for x in r) for r in rows)
+
     spec = BVHSpec(
         num_triangles=t,
         padded_triangles=padded + padded_global,
@@ -560,6 +586,7 @@ def build_cluster_bvh(
         first_leaf=first_leaf,
         num_global=n_global,
         padded_global=padded_global,
+        global_planes=g_planes,
     )
     return (
         order_padded,

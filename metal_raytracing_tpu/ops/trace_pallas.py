@@ -333,6 +333,22 @@ def _read_gtri_scalars(gtri_ref, n_global):
             for g in range(n_global)]
 
 
+def _global_scalars(gtri_ref, n_global, g_planes):
+    """Plane scalars for the scalar-unrolled global seed.  When the spec
+    carries the plane rows as Python floats (BVHSpec.global_planes, a
+    static jit argument) they become IMMEDIATE constants in the compiled
+    kernel — no SMEM loads at all, removing the scalar-load dependency
+    chains that made the SMEM-read variant measure slower than the dense
+    chunk test (BASELINE.md round 3).  Falls back to SMEM reads for specs
+    built before the field existed."""
+    if not n_global:
+        return None
+    if g_planes:
+        assert len(g_planes) == n_global, (len(g_planes), n_global)
+        return [list(p) for p in g_planes]
+    return _read_gtri_scalars(gtri_ref, n_global)
+
+
 def _seed_rows_closest(gts, g_base, o_rows, d_rows, inv_unused, mask_row, r):
     """Scalar-unrolled global seed: returns ((1,R) key, (1,R) base) rows."""
     ox, oy, oz = o_rows
@@ -417,6 +433,7 @@ def _seed_global_any(g_base, g_chunks, r, ocol, dcol, mask_col, maxt_col,
 def _closest_kernel(*refs,
                     s_per: int, c_size: int, r: int, tb: int,
                     g_base: int = 0, g_chunks: int = 0, n_global: int = 0,
+                    g_planes: tuple = (),
                     count_visits: bool = False):
   ray_refs = refs[:7]  # ox oy oz dx dy dz maskf
   sup_ref, clu_ref, tri_ref, gtri_ref, t_out_ref, tri_out_ref = refs[7:13]
@@ -430,7 +447,7 @@ def _closest_kernel(*refs,
   tri_scratch, tri_sem = scratch_refs if scratch_refs else (None, None)
   # Small global sets seed via scalar-unrolled row tests; the SMEM plane
   # scalars are read ONCE per grid step (loop-invariant).
-  gts = _read_gtri_scalars(gtri_ref, n_global) if n_global else None
+  gts = _global_scalars(gtri_ref, n_global, g_planes)
   # Several ray tiles per grid step amortize the ~3.3us fixed grid-step
   # cost (DMA + dispatch) that would otherwise dominate the traversal.
   def tile_body(t, _carry):
@@ -481,35 +498,6 @@ def _closest_kernel(*refs,
         cscore = jnp.min(jnp.where(live, tn_c, BIG_T), axis=1, keepdims=True)
         return jnp.where(cvis > 0.0, BIG_T, cscore)
 
-    def visit_cluster(st):
-        # ``best_key``/``best_base`` are carried as (1, R) ROWS: one vreg
-        # each (a (R, 1) column is 16 mostly-empty vregs copied through
-        # every while_loop iteration), and the score recomputes compare
-        # them against the (S, R) slab rows directly — no per-visit
-        # (R, 1) -> (1, R) transpose.
-        (cscore, cvis, tn_c, hit_c, best_key, best_base, c_base, nvis) = st
-        k = jnp.argmin(cscore[:, 0])
-        cvis = jnp.maximum(cvis, (clu_iota == k).astype(jnp.float32))
-        # declare the power-of-two alignment witness: Mosaic's divisibility
-        # reasoning only accepts powers of two (c_size is a 128-multiple)
-        base = pl.multiple_of((c_base + k) * c_size, 128)
-        if tri_scratch is not None:
-            _stream_tri(tri_ref, base, c_size, tri_scratch, tri_sem)
-        acc = jnp.full((r, CHUNK), _INIT_KEY, jnp.int32)
-        for j in range(c_size // CHUNK):  # static unroll, see CHUNK
-            tri = _fetch_tri_chunk(tri_ref, base, j, tri_scratch)
-            t, u, v, hit = _mt_block(ocol, dcol, tri, None)
-            hit = hit & mask_col
-            ti = jax.lax.bitcast_convert_type(t, jnp.int32)
-            key = (ti & ~IDX_MASK) | (j * CHUNK + lane)
-            acc = jnp.minimum(acc, jnp.where(hit, key, _INIT_KEY))
-        vkey = jnp.min(acc, axis=1, keepdims=True).T  # one lane reduce
-        upd = vkey < best_key
-        best_key = jnp.where(upd, vkey, best_key)
-        best_base = jnp.where(upd, base, best_base)
-        return (cluster_score(cvis, tn_c, hit_c, _key_to_t(best_key)), cvis,
-                tn_c, hit_c, best_key, best_base, c_base, nvis + 1.0)
-
     def cluster_cond(st):
         return jnp.min(st[0]) < BIG_T * 0.5
 
@@ -521,12 +509,47 @@ def _closest_kernel(*refs,
         tn_c, hit_c = _slab_cols(_box_cols(cp), o_rows, inv_rows, BIG_T)
         hit_c = hit_c & mask_row
         tn_c = jnp.maximum(tn_c, 0.0)
+        c_base = s * jnp.int32(s_per)
+
+        def visit_cluster(st):
+            # ``best_key``/``best_base`` are carried as (1, R) ROWS: one
+            # vreg each (a (R, 1) column is 16 mostly-empty vregs copied
+            # through every while_loop iteration), and the score recomputes
+            # compare them against the (S, R) slab rows directly — no
+            # per-visit (R, 1) -> (1, R) transpose.  The loop-INVARIANT
+            # slab results (tn_c, hit_c) and c_base are closed over, not
+            # carried: carried (S, R) state is live loop state Mosaic must
+            # preserve every iteration, pure overhead for values that
+            # never change inside the walk.
+            (cscore, cvis, best_key, best_base, nvis) = st
+            k = jnp.argmin(cscore[:, 0])
+            cvis = jnp.maximum(cvis, (clu_iota == k).astype(jnp.float32))
+            # declare the power-of-two alignment witness: Mosaic's
+            # divisibility reasoning only accepts powers of two (c_size is
+            # a 128-multiple)
+            base = pl.multiple_of((c_base + k) * c_size, 128)
+            if tri_scratch is not None:
+                _stream_tri(tri_ref, base, c_size, tri_scratch, tri_sem)
+            acc = jnp.full((r, CHUNK), _INIT_KEY, jnp.int32)
+            for j in range(c_size // CHUNK):  # static unroll, see CHUNK
+                tri = _fetch_tri_chunk(tri_ref, base, j, tri_scratch)
+                t, u, v, hit = _mt_block(ocol, dcol, tri, None)
+                hit = hit & mask_col
+                ti = jax.lax.bitcast_convert_type(t, jnp.int32)
+                key = (ti & ~IDX_MASK) | (j * CHUNK + lane)
+                acc = jnp.minimum(acc, jnp.where(hit, key, _INIT_KEY))
+            vkey = jnp.min(acc, axis=1, keepdims=True).T  # one lane reduce
+            upd = vkey < best_key
+            best_key = jnp.where(upd, vkey, best_key)
+            best_base = jnp.where(upd, base, best_base)
+            return (cluster_score(cvis, tn_c, hit_c, _key_to_t(best_key)),
+                    cvis, best_key, best_base, nvis + 1.0)
+
         cvis0 = jnp.zeros((s_per, 1), jnp.float32)
         inner = (cluster_score(cvis0, tn_c, hit_c, _key_to_t(best_key)),
-                 cvis0, tn_c, hit_c, best_key, best_base,
-                 s * jnp.int32(s_per), nvis)
+                 cvis0, best_key, best_base, nvis)
         inner = jax.lax.while_loop(cluster_cond, visit_cluster, inner)
-        _, _, _, _, best_key, best_base, _, nvis = inner
+        _, _, best_key, best_base, nvis = inner
         return (sup_score(svis, _key_to_t(best_key)), svis, best_key,
                 best_base, nvis)
 
@@ -561,6 +584,7 @@ def _closest_kernel(*refs,
 
 def _any_kernel(*refs, s_per: int, c_size: int, r: int, tb: int,
                 g_base: int = 0, g_chunks: int = 0, n_global: int = 0,
+                g_planes: tuple = (),
                 count_visits: bool = False):
   ray_refs = refs[:8]  # ox oy oz dx dy dz maskf tmax
   sup_ref, clu_ref, tri_ref, gtri_ref, occ_ref = refs[8:13]
@@ -570,7 +594,7 @@ def _any_kernel(*refs, s_per: int, c_size: int, r: int, tb: int,
   else:
       vis_ref, scratch_refs = None, list(rest)
   tri_scratch, tri_sem = scratch_refs if scratch_refs else (None, None)
-  gts = _read_gtri_scalars(gtri_ref, n_global) if n_global else None
+  gts = _global_scalars(gtri_ref, n_global, g_planes)
   def tile_body(t, _carry):
     any_live = jnp.max(ray_refs[6][t, :][None, :]) > 0.0
 
@@ -610,27 +634,6 @@ def _any_kernel(*refs, s_per: int, c_size: int, r: int, tb: int,
         cscore = jnp.min(jnp.where(live, tn_c, BIG_T), axis=1, keepdims=True)
         return jnp.where(cvis > 0.0, BIG_T, cscore)
 
-    def visit_cluster(st):
-        cscore, cvis, tn_c, hit_c, occ_row, c_base, nvis = st
-        k = jnp.argmin(cscore[:, 0])
-        cvis = jnp.maximum(cvis, (clu_iota == k).astype(jnp.float32))
-        # declare the power-of-two alignment witness: Mosaic's divisibility
-        # reasoning only accepts powers of two (c_size is a 128-multiple)
-        base = pl.multiple_of((c_base + k) * c_size, 128)
-        if tri_scratch is not None:
-            _stream_tri(tri_ref, base, c_size, tri_scratch, tri_sem)
-        # Accumulate the hit mask elementwise per chunk; pay ONE cross-lane
-        # reduction per visit (reductions, not ALU work, dominate).
-        acc = jnp.zeros((r, CHUNK), jnp.float32)
-        for j in range(c_size // CHUNK):  # static unroll, see CHUNK
-            tri = _fetch_tri_chunk(tri_ref, base, j, tri_scratch)
-            _, _, _, hit = _mt_block(ocol, dcol, tri, maxt_col)
-            acc = jnp.maximum(acc, (hit & mask_col).astype(jnp.float32))
-        newly = jnp.max(acc, axis=1, keepdims=True)  # (R, 1)
-        occ_row = jnp.maximum(occ_row, newly.T)
-        return (cluster_score(cvis, tn_c, hit_c, occ_row), cvis, tn_c, hit_c,
-                occ_row, c_base, nvis + 1.0)
-
     def cluster_cond(st):
         return jnp.min(st[0]) < BIG_T * 0.5
 
@@ -642,11 +645,38 @@ def _any_kernel(*refs, s_per: int, c_size: int, r: int, tb: int,
         tn_c, hit_c = _slab_cols(_box_cols(cp), o_rows, inv_rows, maxt_row)
         hit_c = hit_c & mask_row
         tn_c = jnp.maximum(tn_c, 0.0)
+        c_base = s * jnp.int32(s_per)
+
+        def visit_cluster(st):
+            # invariants (tn_c, hit_c, c_base) closed over, not carried —
+            # see the closest kernel's visit_cluster
+            cscore, cvis, occ_row, nvis = st
+            k = jnp.argmin(cscore[:, 0])
+            cvis = jnp.maximum(cvis, (clu_iota == k).astype(jnp.float32))
+            # declare the power-of-two alignment witness: Mosaic's
+            # divisibility reasoning only accepts powers of two (c_size is
+            # a 128-multiple)
+            base = pl.multiple_of((c_base + k) * c_size, 128)
+            if tri_scratch is not None:
+                _stream_tri(tri_ref, base, c_size, tri_scratch, tri_sem)
+            # Accumulate the hit mask elementwise per chunk; pay ONE
+            # cross-lane reduction per visit (reductions, not ALU work,
+            # dominate).
+            acc = jnp.zeros((r, CHUNK), jnp.float32)
+            for j in range(c_size // CHUNK):  # static unroll, see CHUNK
+                tri = _fetch_tri_chunk(tri_ref, base, j, tri_scratch)
+                _, _, _, hit = _mt_block(ocol, dcol, tri, maxt_col)
+                acc = jnp.maximum(acc, (hit & mask_col).astype(jnp.float32))
+            newly = jnp.max(acc, axis=1, keepdims=True)  # (R, 1)
+            occ_row = jnp.maximum(occ_row, newly.T)
+            return (cluster_score(cvis, tn_c, hit_c, occ_row), cvis,
+                    occ_row, nvis + 1.0)
+
         cvis0 = jnp.zeros((s_per, 1), jnp.float32)
-        inner = (cluster_score(cvis0, tn_c, hit_c, occ_row), cvis0, tn_c,
-                 hit_c, occ_row, s * jnp.int32(s_per), nvis)
+        inner = (cluster_score(cvis0, tn_c, hit_c, occ_row), cvis0,
+                 occ_row, nvis)
         inner = jax.lax.while_loop(cluster_cond, visit_cluster, inner)
-        occ_row, nvis = inner[4], inner[6]
+        occ_row, nvis = inner[2], inner[3]
         return (sup_score(svis, occ_row), svis, occ_row, nvis)
 
     def super_cond(st):
@@ -673,7 +703,7 @@ def _any_kernel(*refs, s_per: int, c_size: int, r: int, tb: int,
 
 def _closest_flat_kernel(*refs, c_size: int, r: int, tb: int,
                          g_base: int = 0, g_chunks: int = 0,
-                         n_global: int = 0,
+                         n_global: int = 0, g_planes: tuple = (),
                          count_visits: bool = False):
   """Single-level traversal: extract-min directly over ALL cluster AABBs.
 
@@ -694,7 +724,7 @@ def _closest_flat_kernel(*refs, c_size: int, r: int, tb: int,
   else:
       vis_ref, scratch_refs = None, list(rest)
   tri_scratch, tri_sem = scratch_refs if scratch_refs else (None, None)
-  gts = _read_gtri_scalars(gtri_ref, n_global) if n_global else None
+  gts = _global_scalars(gtri_ref, n_global, g_planes)
 
   def tile_body(t, _carry):
     any_live = jnp.max(ray_refs[6][t, :][None, :]) > 0.0
@@ -782,6 +812,7 @@ def _closest_flat_kernel(*refs, c_size: int, r: int, tb: int,
 
 def _any_flat_kernel(*refs, c_size: int, r: int, tb: int,
                      g_base: int = 0, g_chunks: int = 0, n_global: int = 0,
+                     g_planes: tuple = (),
                      count_visits: bool = False):
   """Single-level any-hit walk; see :func:`_closest_flat_kernel`."""
   ray_refs = refs[:8]  # ox oy oz dx dy dz maskf tmax
@@ -792,7 +823,7 @@ def _any_flat_kernel(*refs, c_size: int, r: int, tb: int,
   else:
       vis_ref, scratch_refs = None, list(rest)
   tri_scratch, tri_sem = scratch_refs if scratch_refs else (None, None)
-  gts = _read_gtri_scalars(gtri_ref, n_global) if n_global else None
+  gts = _global_scalars(gtri_ref, n_global, g_planes)
 
   def tile_body(t, _carry):
     any_live = jnp.max(ray_refs[6][t, :][None, :]) > 0.0
@@ -1010,7 +1041,8 @@ def trace_closest(o, d, mask, sup, clu, tri, spec: BVHSpec,
     scalar_seed = 0 < ng <= GLOBAL_SCALAR_MAX
     gkw = dict(g_base=spec.global_base,
                g_chunks=0 if scalar_seed else spec.padded_global // CHUNK,
-               n_global=ng if scalar_seed else 0)
+               n_global=ng if scalar_seed else 0,
+               g_planes=spec.global_planes if scalar_seed else ())
     if ng:
         gtri = tri[0:N_TRI_PLANES,
                    spec.global_base:spec.global_base + ng].T  # (G, 12)
@@ -1090,7 +1122,8 @@ def trace_any(o, d, max_t, mask, sup, clu, tri, spec: BVHSpec,
     scalar_seed = 0 < ng <= GLOBAL_SCALAR_MAX
     gkw = dict(g_base=spec.global_base,
                g_chunks=0 if scalar_seed else spec.padded_global // CHUNK,
-               n_global=ng if scalar_seed else 0)
+               n_global=ng if scalar_seed else 0,
+               g_planes=spec.global_planes if scalar_seed else ())
     if ng:
         gtri = tri[0:N_TRI_PLANES,
                    spec.global_base:spec.global_base + ng].T  # (G, 12)

@@ -26,10 +26,15 @@ def _rays(n, seed):
     return jnp.asarray(o), jnp.asarray(d)
 
 
-@pytest.fixture(scope="module", params=[128, 384, 512])
+@pytest.fixture(scope="module", params=[
+    (128, "sah"), (384, "sah"), (512, "sah"),
+    # partially-full clusters (interspersed -1 padding slots) must also
+    # survive real Mosaic compilation, not just interpret mode
+    (384, "sah_free")])
 def built(request):
+    csize, builder = request.param
     scene = plane_sphere_scene(32, 32)
-    data, spec = scene.build(cluster_size=request.param)
+    data, spec = scene.build(cluster_size=csize, builder=builder)
     return data, spec
 
 
