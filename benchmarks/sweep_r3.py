@@ -79,6 +79,12 @@ def main() -> int:
         ("sahfree", dict(bvh_builder="sah_free")),
         ("sahfree_c512", dict(bvh_builder="sah_free", cluster_size=512)),
         ("sahfree_c256", dict(bvh_builder="sah_free", cluster_size=256)),
+        # chunk-granular cost model + the kernels' partial-cluster chunk
+        # skip; alpha = per-visit machinery in chunk-test units
+        ("sahchunk", dict(bvh_builder="sah_chunk")),
+        ("sahchunk_a1", dict(bvh_builder="sah_chunk", bvh_alpha=1.0)),
+        ("sahchunk_a4", dict(bvh_builder="sah_chunk", bvh_alpha=4.0)),
+        ("sahchunk_c512", dict(bvh_builder="sah_chunk", cluster_size=512)),
     ]
     if args.variants:
         keep = set(args.variants.split(","))
@@ -95,11 +101,13 @@ def main() -> int:
         trace_pallas.GLOBAL_SCALAR_MAX = over.pop(
             "_seed_scalar_max", default_scalar_max)
         cfg = dataclasses.replace(base, **over)
-        key = (cfg.bvh_presplit, cfg.cluster_size, cfg.bvh_builder)
+        key = (cfg.bvh_presplit, cfg.cluster_size, cfg.bvh_builder,
+               cfg.bvh_alpha)
         if key not in built:
             built[key] = scene.build(cluster_size=cfg.cluster_size,
                                      builder=cfg.bvh_builder,
-                                     presplit=cfg.bvh_presplit)
+                                     presplit=cfg.bvh_presplit,
+                                     builder_alpha=cfg.bvh_alpha)
         data, spec = built[key]
         offsets = R.make_pixel_offsets(cfg)
 

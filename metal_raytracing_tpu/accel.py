@@ -63,6 +63,11 @@ class BVHSpec:
     # SMEM-load dependency chains were what made the round-3 scalar-seed
     # A/B measure slower than the dense chunk test).
     global_planes: tuple = ()  # tuple of 12-float tuples, len == num_global
+    # True when enough clusters are partially full that the kernels'
+    # per-cluster chunk skip pays for its per-chunk conds (sah_free
+    # builds); the quantized builders emit full clusters and keep the
+    # dense test as a pure static unroll.
+    partial_clusters: bool = False
 
     @property
     def global_base(self) -> int:
@@ -225,6 +230,8 @@ def sah_free_clusters(
     centroids: np.ndarray,
     cluster_size: int,
     n_bins: int = 32,
+    chunk: int = 0,
+    alpha: float = 1.0,
 ) -> list:
     """Unquantized cluster-granular SAH: returns a LIST of per-cluster
     reference-index arrays, each of length <= ``cluster_size``.
@@ -241,13 +248,28 @@ def sah_free_clusters(
     traversal time (VERDICT round-3 item #3; the reference gets its AS
     quality from Metal's closed-source build, Renderer.swift:185-191).
     DFS emission order preserves spatial locality for the super grouping.
+
+    ``chunk > 0`` switches to the CHUNK-granular cost model (the
+    ``sah_chunk`` builder): the kernels' partial-cluster chunk skip makes
+    a visit cost ``alpha + ceil(n / chunk)`` chunk-units (``alpha`` =
+    extract-min/slab machinery per visit, measured ~1 chunk-test), so
+    splits are scored ``SA * (alpha * clusters + chunks)`` per side and
+    a node may keep splitting BELOW cluster_size while a split lowers
+    that cost (e.g. two separated blobs sharing a cluster).
     """
     c = cluster_size
+
+    def side_cost(sa, n):
+        ncl = np.ceil(n / c)
+        if chunk:
+            return sa * (alpha * ncl + np.ceil(n / chunk))
+        return sa * ncl
+
     clusters: list = []
     stack = [np.arange(centroids.shape[0], dtype=np.int64)]
     while stack:
         ids = stack.pop()
-        if len(ids) <= c:
+        if len(ids) <= (chunk if chunk else c):
             clusters.append(ids)
             continue
         pts = centroids[ids]
@@ -276,9 +298,9 @@ def sah_free_clusters(
             pre_n = np.cumsum(counts)
             ln = pre_n[:-1]
             rn = n_here - ln
-            # cluster-granular SAH: SA-weighted cluster counts
-            cost = (_surface_area(pre_lo[:-1], pre_hi[:-1]) * np.ceil(ln / c)
-                    + _surface_area(suf_lo[1:], suf_hi[1:]) * np.ceil(rn / c))
+            # SA-weighted cluster counts (or chunk-units, see side_cost)
+            cost = (side_cost(_surface_area(pre_lo[:-1], pre_hi[:-1]), ln)
+                    + side_cost(_surface_area(suf_lo[1:], suf_hi[1:]), rn))
             valid = (ln >= 1) & (rn >= 1)
             if not valid.any():
                 continue
@@ -288,7 +310,21 @@ def sah_free_clusters(
                 best_cost = cost[b]
                 best_axis = axis
                 best_k = int(ln[b])
+        if chunk and n_here <= c and best_axis >= 0:
+            # below cluster_size a split is optional: keep it only when it
+            # beats this node's own no-split cost
+            no_split = side_cost(
+                float(_surface_area(tri_lo[ids].min(axis=0)[None],
+                                    tri_hi[ids].max(axis=0)[None])[0]),
+                n_here)
+            if best_cost >= no_split:
+                clusters.append(ids)
+                continue
         if best_axis < 0:
+            if n_here <= c:
+                # chunk mode reaches here when every axis is degenerate
+                clusters.append(ids)
+                continue
             # degenerate spread (all centroids coincident): halve by count
             best_axis = int(np.argmax(ext))
             best_k = n_here // 2
@@ -421,6 +457,7 @@ def build_cluster_bvh(
     presplit: float = 0.0,
     global_sa_frac: float = 0.02,
     max_global: int = 128,
+    builder_alpha: float = 2.0,
 ):
     """Build the cluster BVH over world-space triangles (v0, v0+e1, v0+e2).
 
@@ -491,11 +528,15 @@ def build_cluster_bvh(
 
     scene_lo = ref_lo.min(axis=0)
     scene_hi = ref_hi.max(axis=0)
-    if builder == "sah_free":
+    if builder in ("sah_free", "sah_chunk"):
         # Cluster-granular SAH: list of (possibly partially-full) clusters;
         # every cluster's tail pads with -1 (degenerate never-hit slots).
+        # sah_chunk scores in chunk-units and splits below cluster_size
+        # when beneficial (pairs with the kernels' chunk skip).
         groups = sah_free_clusters(ref_lo, ref_hi,
-                                   np.ascontiguousarray(centroids), c)
+                                   np.ascontiguousarray(centroids), c,
+                                   chunk=128 if builder == "sah_chunk"
+                                   else 0, alpha=builder_alpha)
         num_clusters = len(groups)
         padded = num_clusters * c
         order_padded = np.full(padded + padded_global, -1, np.int64)
@@ -575,6 +616,13 @@ def build_cluster_bvh(
         rows = np.concatenate([gn, dc, u3, uw, v3, vw], axis=1)
         g_planes = tuple(tuple(float(x) for x in r) for r in rows)
 
+    # Chunk-skip eligibility: fraction of 128-wide dense-test chunks that
+    # hold ONLY padding.  Worth the per-chunk conds only when material.
+    counts = (order_padded[:padded].reshape(num_clusters, c) >= 0).sum(1)
+    full_chunks = num_clusters * (c // 128)
+    real_chunks = int(np.ceil(counts / 128).sum())
+    partial_clusters = (full_chunks - real_chunks) > 0.1 * full_chunks
+
     spec = BVHSpec(
         num_triangles=t,
         padded_triangles=padded + padded_global,
@@ -587,6 +635,7 @@ def build_cluster_bvh(
         num_global=n_global,
         padded_global=padded_global,
         global_planes=g_planes,
+        partial_clusters=partial_clusters,
     )
     return (
         order_padded,

@@ -60,6 +60,10 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--texture-filter", default="nearest",
                    choices=("nearest", "bilinear"),
                    help="texture sampling filter (with --textures)")
+    r.add_argument("--bvh-builder", default="sah",
+                   choices=["sah", "sah_free", "sah_chunk", "median",
+                            "morton"],
+                   help="leaf clustering strategy (see RenderConfig)")
     r.add_argument("--no-compaction", action="store_true",
                    help="disable live-ray compaction between bounces")
     r.add_argument("--checkpoint", default=None,
@@ -142,6 +146,7 @@ def cmd_render(args) -> int:
         enable_textures=args.textures or scene.name == "uv_test",
         texture_filter=args.texture_filter,
         enable_refraction=args.refraction or scene.name == "glass_sphere",
+        bvh_builder=args.bvh_builder,
         compaction=not args.no_compaction)
 
     t0 = time.perf_counter()

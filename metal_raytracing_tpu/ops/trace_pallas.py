@@ -430,14 +430,66 @@ def _seed_global_any(g_base, g_chunks, r, ocol, dcol, mask_col, maxt_col,
     return jnp.maximum(occ0, jnp.max(acc, axis=1, keepdims=True).T)
 
 
+def _dense_closest(tri_ref, base, c_size, tri_scratch, ocol, dcol,
+                   mask_col, lane, r, cnt=None):
+    """Dense closest-hit test of one cluster's triangles: (r, CHUNK)
+    packed-key accumulator, min-reduced by the caller.
+
+    ``cnt`` (a traced per-cluster triangle count from SMEM) enables the
+    PARTIAL-CLUSTER CHUNK SKIP: real triangles pack first within a
+    cluster (scene.permute), so chunks at offsets >= cnt hold only
+    degenerate padding that can never hit — skipping them is bit-exact.
+    Clusters from the quantized builders are full and pass cnt=None
+    (static unroll, no per-chunk conds)."""
+    def one(j, a):
+        tri = _fetch_tri_chunk(tri_ref, base, j, tri_scratch)
+        t, _u, _v, hit = _mt_block(ocol, dcol, tri, None)
+        hit = hit & mask_col
+        ti = jax.lax.bitcast_convert_type(t, jnp.int32)
+        key = (ti & ~IDX_MASK) | (j * CHUNK + lane)
+        return jnp.minimum(a, jnp.where(hit, key, _INIT_KEY))
+
+    acc = jnp.full((r, CHUNK), _INIT_KEY, jnp.int32)
+    for j in range(c_size // CHUNK):  # static unroll, see CHUNK
+        if cnt is None or j == 0:
+            acc = one(j, acc)
+        else:
+            acc = jax.lax.cond(cnt > j * CHUNK,
+                               lambda a, j=j: one(j, a),
+                               lambda a: a, acc)
+    return acc
+
+
+def _dense_any(tri_ref, base, c_size, tri_scratch, ocol, dcol, mask_col,
+               maxt_col, r, cnt=None):
+    """Dense any-hit test of one cluster: (r, CHUNK) f32 hit-mask
+    accumulator (ONE cross-lane reduce happens in the caller).  ``cnt``
+    as in :func:`_dense_closest`."""
+    def one(j, a):
+        tri = _fetch_tri_chunk(tri_ref, base, j, tri_scratch)
+        _, _, _, hit = _mt_block(ocol, dcol, tri, maxt_col)
+        return jnp.maximum(a, (hit & mask_col).astype(jnp.float32))
+
+    acc = jnp.zeros((r, CHUNK), jnp.float32)
+    for j in range(c_size // CHUNK):  # static unroll, see CHUNK
+        if cnt is None or j == 0:
+            acc = one(j, acc)
+        else:
+            acc = jax.lax.cond(cnt > j * CHUNK,
+                               lambda a, j=j: one(j, a),
+                               lambda a: a, acc)
+    return acc
+
+
 def _closest_kernel(*refs,
                     s_per: int, c_size: int, r: int, tb: int,
                     g_base: int = 0, g_chunks: int = 0, n_global: int = 0,
-                    g_planes: tuple = (),
+                    g_planes: tuple = (), use_counts: bool = False,
                     count_visits: bool = False):
   ray_refs = refs[:7]  # ox oy oz dx dy dz maskf
-  sup_ref, clu_ref, tri_ref, gtri_ref, t_out_ref, tri_out_ref = refs[7:13]
-  rest = refs[13:]
+  (sup_ref, clu_ref, tri_ref, gtri_ref, cnt_ref, t_out_ref,
+   tri_out_ref) = refs[7:14]
+  rest = refs[14:]
   # Optional telemetry output: clusters visited per ray tile (the traversal
   # cost driver — VERDICT.md round 1 asks for p50/p90 in the bench).
   if count_visits:
@@ -530,14 +582,9 @@ def _closest_kernel(*refs,
             base = pl.multiple_of((c_base + k) * c_size, 128)
             if tri_scratch is not None:
                 _stream_tri(tri_ref, base, c_size, tri_scratch, tri_sem)
-            acc = jnp.full((r, CHUNK), _INIT_KEY, jnp.int32)
-            for j in range(c_size // CHUNK):  # static unroll, see CHUNK
-                tri = _fetch_tri_chunk(tri_ref, base, j, tri_scratch)
-                t, u, v, hit = _mt_block(ocol, dcol, tri, None)
-                hit = hit & mask_col
-                ti = jax.lax.bitcast_convert_type(t, jnp.int32)
-                key = (ti & ~IDX_MASK) | (j * CHUNK + lane)
-                acc = jnp.minimum(acc, jnp.where(hit, key, _INIT_KEY))
+            cnt = cnt_ref[c_base + k] if use_counts else None
+            acc = _dense_closest(tri_ref, base, c_size, tri_scratch, ocol,
+                                 dcol, mask_col, lane, r, cnt)
             vkey = jnp.min(acc, axis=1, keepdims=True).T  # one lane reduce
             upd = vkey < best_key
             best_key = jnp.where(upd, vkey, best_key)
@@ -584,11 +631,11 @@ def _closest_kernel(*refs,
 
 def _any_kernel(*refs, s_per: int, c_size: int, r: int, tb: int,
                 g_base: int = 0, g_chunks: int = 0, n_global: int = 0,
-                g_planes: tuple = (),
+                g_planes: tuple = (), use_counts: bool = False,
                 count_visits: bool = False):
   ray_refs = refs[:8]  # ox oy oz dx dy dz maskf tmax
-  sup_ref, clu_ref, tri_ref, gtri_ref, occ_ref = refs[8:13]
-  rest = refs[13:]
+  sup_ref, clu_ref, tri_ref, gtri_ref, cnt_ref, occ_ref = refs[8:14]
+  rest = refs[14:]
   if count_visits:
       vis_ref, *scratch_refs = rest
   else:
@@ -662,11 +709,9 @@ def _any_kernel(*refs, s_per: int, c_size: int, r: int, tb: int,
             # Accumulate the hit mask elementwise per chunk; pay ONE
             # cross-lane reduction per visit (reductions, not ALU work,
             # dominate).
-            acc = jnp.zeros((r, CHUNK), jnp.float32)
-            for j in range(c_size // CHUNK):  # static unroll, see CHUNK
-                tri = _fetch_tri_chunk(tri_ref, base, j, tri_scratch)
-                _, _, _, hit = _mt_block(ocol, dcol, tri, maxt_col)
-                acc = jnp.maximum(acc, (hit & mask_col).astype(jnp.float32))
+            cnt = cnt_ref[c_base + k] if use_counts else None
+            acc = _dense_any(tri_ref, base, c_size, tri_scratch, ocol,
+                             dcol, mask_col, maxt_col, r, cnt)
             newly = jnp.max(acc, axis=1, keepdims=True)  # (R, 1)
             occ_row = jnp.maximum(occ_row, newly.T)
             return (cluster_score(cvis, tn_c, hit_c, occ_row), cvis,
@@ -704,6 +749,7 @@ def _any_kernel(*refs, s_per: int, c_size: int, r: int, tb: int,
 def _closest_flat_kernel(*refs, c_size: int, r: int, tb: int,
                          g_base: int = 0, g_chunks: int = 0,
                          n_global: int = 0, g_planes: tuple = (),
+                         use_counts: bool = False,
                          count_visits: bool = False):
   """Single-level traversal: extract-min directly over ALL cluster AABBs.
 
@@ -716,9 +762,9 @@ def _closest_flat_kernel(*refs, c_size: int, r: int, tb: int,
   ~10 ops) — cheap up to ~1k clusters; bigger scenes keep the hierarchy
   (see FLAT_MAX_CLUSTERS)."""
   ray_refs = refs[:7]  # ox oy oz dx dy dz maskf
-  (cluf_ref, _clu_unused, tri_ref, gtri_ref, t_out_ref,
-   tri_out_ref) = refs[7:13]
-  rest = refs[13:]
+  (cluf_ref, _clu_unused, tri_ref, gtri_ref, cnt_ref, t_out_ref,
+   tri_out_ref) = refs[7:14]
+  rest = refs[14:]
   if count_visits:
       vis_ref, *scratch_refs = rest
   else:
@@ -767,14 +813,9 @@ def _closest_flat_kernel(*refs, c_size: int, r: int, tb: int,
         base = pl.multiple_of(k * c_size, 128)
         if tri_scratch is not None:
             _stream_tri(tri_ref, base, c_size, tri_scratch, tri_sem)
-        acc = jnp.full((r, CHUNK), _INIT_KEY, jnp.int32)
-        for j in range(c_size // CHUNK):  # static unroll, see CHUNK
-            tri = _fetch_tri_chunk(tri_ref, base, j, tri_scratch)
-            tt, _u, _v, hit = _mt_block(ocol, dcol, tri, None)
-            hit = hit & mask_col
-            ti = jax.lax.bitcast_convert_type(tt, jnp.int32)
-            key = (ti & ~IDX_MASK) | (j * CHUNK + lane)
-            acc = jnp.minimum(acc, jnp.where(hit, key, _INIT_KEY))
+        cnt = cnt_ref[k] if use_counts else None
+        acc = _dense_closest(tri_ref, base, c_size, tri_scratch, ocol,
+                             dcol, mask_col, lane, r, cnt)
         vkey = jnp.min(acc, axis=1, keepdims=True).T  # one lane reduce
         upd = vkey < best_key
         best_key = jnp.where(upd, vkey, best_key)
@@ -812,12 +853,12 @@ def _closest_flat_kernel(*refs, c_size: int, r: int, tb: int,
 
 def _any_flat_kernel(*refs, c_size: int, r: int, tb: int,
                      g_base: int = 0, g_chunks: int = 0, n_global: int = 0,
-                     g_planes: tuple = (),
+                     g_planes: tuple = (), use_counts: bool = False,
                      count_visits: bool = False):
   """Single-level any-hit walk; see :func:`_closest_flat_kernel`."""
   ray_refs = refs[:8]  # ox oy oz dx dy dz maskf tmax
-  cluf_ref, _clu_unused, tri_ref, gtri_ref, occ_ref = refs[8:13]
-  rest = refs[13:]
+  cluf_ref, _clu_unused, tri_ref, gtri_ref, cnt_ref, occ_ref = refs[8:14]
+  rest = refs[14:]
   if count_visits:
       vis_ref, *scratch_refs = rest
   else:
@@ -862,11 +903,9 @@ def _any_flat_kernel(*refs, c_size: int, r: int, tb: int,
         base = pl.multiple_of(k * c_size, 128)
         if tri_scratch is not None:
             _stream_tri(tri_ref, base, c_size, tri_scratch, tri_sem)
-        acc = jnp.zeros((r, CHUNK), jnp.float32)
-        for j in range(c_size // CHUNK):  # static unroll, see CHUNK
-            tri = _fetch_tri_chunk(tri_ref, base, j, tri_scratch)
-            _, _, _, hit = _mt_block(ocol, dcol, tri, maxt_col)
-            acc = jnp.maximum(acc, (hit & mask_col).astype(jnp.float32))
+        cnt = cnt_ref[k] if use_counts else None
+        acc = _dense_any(tri_ref, base, c_size, tri_scratch, ocol, dcol,
+                         mask_col, maxt_col, r, cnt)
         newly = jnp.max(acc, axis=1, keepdims=True)  # (R, 1)
         occ_row = jnp.maximum(occ_row, newly.T)
         return (score(cvis, occ_row), cvis, occ_row, nvis + 1.0)
@@ -926,7 +965,8 @@ def _tiles_per_step(nb: int, want: int = 8) -> int:
 
 
 def _pallas_trace(kernel, out_shapes, out_specs, ray_comps,
-                  sup, clu, tri, gtri, n_steps, tb, block, stream, c_size):
+                  sup, clu, tri, gtri, cnt, n_steps, tb, block, stream,
+                  c_size):
     grid_spec = pl.GridSpec(
         grid=(n_steps,),
         in_specs=[
@@ -940,6 +980,9 @@ def _pallas_trace(kernel, out_shapes, out_specs, ray_comps,
             pl.BlockSpec(memory_space=pl.ANY if stream else pltpu.VMEM),
             # global-triangle plane scalars (G, 12) for the seed unroll
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            # per-cluster triangle counts ((NCP,) i32, or a (1,) dummy)
+            # for the partial-cluster chunk skip
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=out_specs,
         scratch_shapes=(
@@ -951,7 +994,7 @@ def _pallas_trace(kernel, out_shapes, out_specs, ray_comps,
         grid_spec=grid_spec,
         out_shape=out_shapes,
         interpret=_should_interpret(),
-    )(*ray_comps, sup, clu, tri, gtri)
+    )(*ray_comps, sup, clu, tri, gtri, cnt)
 
 
 def _should_stream(tri) -> bool:
@@ -1000,7 +1043,7 @@ def recompute_tuv(o, d, rows, eps: float = 1e-20):
 def trace_closest(o, d, mask, sup, clu, tri, spec: BVHSpec,
                   block: int = 128, tiles_per_step: int = 8,
                   stream=None, count_visits: bool = False,
-                  exact_uv: bool = True, flat=None):
+                  exact_uv: bool = True, flat=None, counts=None):
     """Closest-hit query via the hierarchical Pallas tracer.
 
     ``sup``/``clu``/``tri`` are the prepacked planes from
@@ -1048,6 +1091,12 @@ def trace_closest(o, d, mask, sup, clu, tri, spec: BVHSpec,
                    spec.global_base:spec.global_base + ng].T  # (G, 12)
     else:
         gtri = jnp.zeros((1, N_TRI_PLANES), jnp.float32)
+    # Partial-cluster chunk skip (sah_free builds): per-cluster triangle
+    # counts let the dense test skip all-padding trailing chunks.
+    use_counts = counts is not None and spec.partial_clusters
+    cnt = (jnp.asarray(counts, jnp.int32) if use_counts
+           else jnp.zeros((1,), jnp.int32))
+    gkw["use_counts"] = use_counts
     if _use_flat(spec, flat):
         sup = _flat_cluster_planes(clu)  # flat kernels slab ALL clusters
         kernel = functools.partial(_closest_flat_kernel,
@@ -1072,7 +1121,7 @@ def trace_closest(o, d, mask, sup, clu, tri, spec: BVHSpec,
         out_specs += (pl.BlockSpec((tb, 1, block), lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM),)
     out = _pallas_trace(kernel, out_shapes, out_specs, ray_comps, sup,
-                        clu, tri, gtri, n_steps, tb, block, stream,
+                        clu, tri, gtri, cnt, n_steps, tb, block, stream,
                         spec.cluster_size)
     t_chop = out[0].reshape(n)
     tri_id = out[1].reshape(n)
@@ -1096,7 +1145,7 @@ def trace_closest(o, d, mask, sup, clu, tri, spec: BVHSpec,
 
 def trace_any(o, d, max_t, mask, sup, clu, tri, spec: BVHSpec,
               block: int = 128, tiles_per_step: int = 8, stream=None,
-              count_visits: bool = False, flat=None):
+              count_visits: bool = False, flat=None, counts=None):
     """Any-hit occlusion query via the hierarchical Pallas tracer.
 
     With ``count_visits=True`` returns ``(occluded, (NB,) visits)`` —
@@ -1129,6 +1178,12 @@ def trace_any(o, d, max_t, mask, sup, clu, tri, spec: BVHSpec,
                    spec.global_base:spec.global_base + ng].T  # (G, 12)
     else:
         gtri = jnp.zeros((1, N_TRI_PLANES), jnp.float32)
+    # Partial-cluster chunk skip (sah_free builds): per-cluster triangle
+    # counts let the dense test skip all-padding trailing chunks.
+    use_counts = counts is not None and spec.partial_clusters
+    cnt = (jnp.asarray(counts, jnp.int32) if use_counts
+           else jnp.zeros((1,), jnp.int32))
+    gkw["use_counts"] = use_counts
     if _use_flat(spec, flat):
         sup = _flat_cluster_planes(clu)  # flat kernels slab ALL clusters
         kernel = functools.partial(_any_flat_kernel,
@@ -1148,7 +1203,7 @@ def trace_any(o, d, max_t, mask, sup, clu, tri, spec: BVHSpec,
     out = _pallas_trace(
         kernel, out_shapes if count_visits else out_shapes[0],
         out_specs if count_visits else out_specs[0],
-        ray_comps, sup, clu, tri, gtri, n_steps, tb, block, stream,
+        ray_comps, sup, clu, tri, gtri, cnt, n_steps, tb, block, stream,
         spec.cluster_size)
     if count_visits:
         return out[0].reshape(n) > 0, out[1][:, 0, 0]

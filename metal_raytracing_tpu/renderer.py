@@ -137,14 +137,14 @@ def _make_tracers(data: SceneData, spec: SceneSpec, cfg: RenderConfig):
         closest_p = functools.partial(
             trace_pallas.trace_closest, sup=data.sup_planes,
             clu=data.clu_planes, tri=data.tri_planes, spec=spec.bvh,
-            count_visits=cfg.telemetry,
+            count_visits=cfg.telemetry, counts=data.clu_counts,
             # the renderer recomputes exact t from the shade-row gather it
             # pays anyway — skip the tracer's own plane gather
             exact_uv=False)
         any_p = functools.partial(
             trace_pallas.trace_any, sup=data.sup_planes,
             clu=data.clu_planes, tri=data.tri_planes, spec=spec.bvh,
-            count_visits=cfg.telemetry)
+            count_visits=cfg.telemetry, counts=data.clu_counts)
 
         def closest(o, d, m, block=None):
             return closest_p(o, d, m, block=block or cfg.ray_block)
@@ -695,7 +695,7 @@ class Renderer:
         self.cfg = cfg
         self.data, self.spec = scene.build(
             cluster_size=cfg.cluster_size, builder=cfg.bvh_builder,
-            presplit=cfg.bvh_presplit)
+            presplit=cfg.bvh_presplit, builder_alpha=cfg.bvh_alpha)
         self.offsets = make_pixel_offsets(cfg)
         self.frame_index = 0
         self.accum = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)

@@ -98,6 +98,10 @@ class SceneData(NamedTuple):
     # same surface hit agree after mapping through this table (tests use
     # it — shading already agrees because duplicate rows are identical).
     tri_src: Optional[jnp.ndarray] = None  # (T,) i32
+    # Per-cluster REAL-triangle counts over the packed cluster-plane slots
+    # ((NS*S,) i32; padding slots 0) — drives the pallas kernels'
+    # partial-cluster chunk skip when spec.bvh.partial_clusters.
+    clu_counts: Optional[jnp.ndarray] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -314,6 +318,7 @@ def build_scene_data(
     max_edge_frac: float = 0.0,
     builder: str = "sah",
     presplit: float = 0.0,
+    builder_alpha: float = 2.0,
 ) -> Tuple[SceneData, SceneSpec]:
     """Flatten, Morton-sort, cluster, and upload a scene.
 
@@ -337,7 +342,7 @@ def build_scene_data(
         uvc = np.zeros((v0.shape[0], 3, 2), np.float32)
     order, node_lo, node_hi, bvh_spec = accel.build_cluster_bvh(
         v0, e1, e2, cluster_size=cluster_size, branching=branching,
-        builder=builder, presplit=presplit)
+        builder=builder, presplit=presplit, builder_alpha=builder_alpha)
 
     # Apply the Morton permutation; padding slots (-1) become degenerate
     # triangles (e1 = e2 = 0 => zero determinant => never hit).
@@ -357,6 +362,13 @@ def build_scene_data(
     geometry, sup, clu, tri, shade_table = _pack_device(
         geometry_np, node_lo, node_hi, material_table.base_color,
         spec=bvh_spec)
+    # Per-cluster real-triangle counts (order slots >= 0), padded to the
+    # packed cluster-plane slot count.
+    nc, c = bvh_spec.num_clusters, bvh_spec.cluster_size
+    counts_np = (order[: nc * c].reshape(nc, c) >= 0).sum(1)
+    ncp = int(clu.shape[0] * clu.shape[1])
+    clu_counts = np.zeros((ncp,), np.int32)
+    clu_counts[:nc] = counts_np
 
     # Texture extension: stack each textured material's image into one
     # (M, Hm, Wm, 3) array (padded to common dims; untextured slots stay
@@ -393,6 +405,7 @@ def build_scene_data(
         tex_stack=tex_stack,
         tex_hw=tex_hw,
         tri_src=jnp.asarray(order, jnp.int32),
+        clu_counts=jnp.asarray(clu_counts),
     )
     spec = SceneSpec(
         bvh=bvh_spec,
@@ -457,8 +470,10 @@ class Scene:
         return sum(i.model.triangle_count for i in self.instances)
 
     def build(self, cluster_size: int = 384, branching: int = 8,
-              builder: str = "sah", presplit: float = 0.0):
+              builder: str = "sah", presplit: float = 0.0,
+              builder_alpha: float = 2.0):
         return build_scene_data(
             self.instances, self.lights, self.camera(),
             cluster_size=cluster_size, branching=branching,
-            env_map=self.env_map, builder=builder, presplit=presplit)
+            env_map=self.env_map, builder=builder, presplit=presplit,
+            builder_alpha=builder_alpha)

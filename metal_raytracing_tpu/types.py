@@ -235,8 +235,14 @@ class RenderConfig:
     # leaves amortize the per-visit extract-min machinery).
     cluster_size: int = 384
     # Leaf clustering strategy: "sah" (binned surface-area heuristic,
-    # fewest clusters visited) | "median" | "morton"
+    # fewest clusters visited) | "sah_free" (cluster-granular splits,
+    # partially-full clusters) | "sah_chunk" (chunk-granular cost model,
+    # pairs with the kernels' partial-cluster chunk skip) | "median" |
+    # "morton"
     bvh_builder: str = "sah"
+    # sah_chunk per-visit machinery cost in 128-wide chunk-test units
+    # (higher = fewer, fuller clusters)
+    bvh_alpha: float = 2.0
     # SBVH-style spatial pre-split budget (extra references as a fraction
     # of the triangle count; 0 disables).  Splits huge triangles into
     # clipped references so cluster AABBs stay tight.  MEASURED NEGATIVE

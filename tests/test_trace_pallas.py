@@ -177,3 +177,32 @@ def test_pallas_scalar_seed_matches_chunk_seed(scene_data, monkeypatch):
                           data.clu_planes, data.tri_planes, spec.bvh,
                           block=128)
     np.testing.assert_array_equal(np.asarray(scal_a), np.asarray(chunk_a))
+
+
+@pytest.mark.parametrize("flat", [True, False])
+def test_pallas_chunk_skip_matches_full_unroll(flat):
+    """The partial-cluster chunk skip (sah_free builds carry per-cluster
+    triangle counts; dense-test chunks past the count hold only padding)
+    must be BIT-identical to the full static unroll — skipped chunks can
+    only contain degenerate never-hit triangles."""
+    scene = plane_sphere_scene(32, 32)
+    data, spec = scene.build(cluster_size=384, builder="sah_chunk")
+    assert spec.bvh.partial_clusters  # the skip path is actually exercised
+    assert int(jnp.max(data.clu_counts)) <= 384
+    o, d = _rays(256, seed=7)
+    mask = jnp.ones((256,), bool)
+    kw = dict(block=128, flat=flat)
+    full = TP.trace_closest(o, d, mask, data.sup_planes, data.clu_planes,
+                            data.tri_planes, spec.bvh, **kw)
+    skip = TP.trace_closest(o, d, mask, data.sup_planes, data.clu_planes,
+                            data.tri_planes, spec.bvh,
+                            counts=data.clu_counts, **kw)
+    np.testing.assert_array_equal(np.asarray(skip.tri), np.asarray(full.tri))
+    np.testing.assert_array_equal(np.asarray(skip.t), np.asarray(full.t))
+    max_t = jnp.full((256,), 4.0)
+    full_a = TP.trace_any(o, d, max_t, mask, data.sup_planes,
+                          data.clu_planes, data.tri_planes, spec.bvh, **kw)
+    skip_a = TP.trace_any(o, d, max_t, mask, data.sup_planes,
+                          data.clu_planes, data.tri_planes, spec.bvh,
+                          counts=data.clu_counts, **kw)
+    np.testing.assert_array_equal(np.asarray(skip_a), np.asarray(full_a))
