@@ -85,6 +85,10 @@ def main() -> int:
         ("sahchunk_a1", dict(bvh_builder="sah_chunk", bvh_alpha=1.0)),
         ("sahchunk_a4", dict(bvh_builder="sah_chunk", bvh_alpha=4.0)),
         ("sahchunk_c512", dict(bvh_builder="sah_chunk", cluster_size=512)),
+        # bigger blocks for the re-sorted bounce shadow passes (82%
+        # zero-visit -> fixed-cost-bound)
+        ("shadowb256", dict(shadow_ray_block=256)),
+        ("shadowb512", dict(shadow_ray_block=512)),
     ]
     if args.variants:
         keep = set(args.variants.split(","))

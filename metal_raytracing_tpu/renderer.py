@@ -224,10 +224,12 @@ def render_rays(
     n = px.shape[0]
     block = cfg.ray_block
     pblock = cfg.primary_ray_block or block
-    # rays padded to a multiple of BOTH block sizes
+    sblock = cfg.shadow_ray_block or block
+    # rays padded to a common multiple of ALL block sizes
     import math
 
     pad_to = block * pblock // math.gcd(block, pblock)
+    pad_to = pad_to * sblock // math.gcd(pad_to, sblock)
     p = -(-n // pad_to) * pad_to
     lcount = spec.light_count
 
@@ -494,7 +496,7 @@ def render_rays(
                 dimension=0, is_stable=False, num_keys=1)
             res = any_fn(jnp.stack(ss[1:4], axis=1),
                          jnp.stack(ss[4:7], axis=1), ss[7],
-                         ss[0] < jnp.int32(2**30))
+                         ss[0] < jnp.int32(2**30), block=sblock)
             if cfg.telemetry and tracer_kind == "pallas":
                 res, tele_stats[f"shadow_visits_b{bounce}"] = res
             # un-permute through a second sort on the carried slot (18x

@@ -262,6 +262,12 @@ class RenderConfig:
     # Measured: 512 saves ~25 ms/sample on dragon 1024^2 (vs 128; 256
     # saves ~13).  None = use ray_block.
     primary_ray_block: Optional[int] = 512
+    # Traversal block for the RE-SORTED bounce shadow passes.  After the
+    # (light, Morton) re-sort ~82% of shadow blocks resolve with ZERO
+    # cluster visits (global-seed occlusion or slab miss) — purely
+    # fixed-cost-bound, so bigger blocks amortize machinery the way
+    # primaries do.  None = ray_block.
+    shadow_ray_block: Optional[int] = None
     # Wavefront compaction: permute rays so live rays pack into full
     # traversal blocks between bounces (the realized version of the
     # reference's dead bitonic-sort divergence experiment,
