@@ -89,6 +89,14 @@ def main() -> int:
         # zero-visit -> fixed-cost-bound)
         ("shadowb256", dict(shadow_ray_block=256)),
         ("shadowb512", dict(shadow_ray_block=512)),
+        # c640/c768 need IDX_BITS=10; measured FLAT vs c512 (275.8/275.7,
+        # visits 9.8/8.7) — visit reduction no longer converts to time,
+        # the per-tile fixed cost is the floor.  Variants removed.
+        ("sahfree_c512_noskip", dict(bvh_builder="sah_free",
+                                     cluster_size=512, chunk_skip=False)),
+        ("sahfree_c512_sb512", dict(bvh_builder="sah_free",
+                                    cluster_size=512,
+                                    shadow_ray_block=512)),
     ]
     if args.variants:
         keep = set(args.variants.split(","))

@@ -137,14 +137,16 @@ def _make_tracers(data: SceneData, spec: SceneSpec, cfg: RenderConfig):
         closest_p = functools.partial(
             trace_pallas.trace_closest, sup=data.sup_planes,
             clu=data.clu_planes, tri=data.tri_planes, spec=spec.bvh,
-            count_visits=cfg.telemetry, counts=data.clu_counts,
+            count_visits=cfg.telemetry,
+            counts=data.clu_counts if cfg.chunk_skip else None,
             # the renderer recomputes exact t from the shade-row gather it
             # pays anyway — skip the tracer's own plane gather
             exact_uv=False)
         any_p = functools.partial(
             trace_pallas.trace_any, sup=data.sup_planes,
             clu=data.clu_planes, tri=data.tri_planes, spec=spec.bvh,
-            count_visits=cfg.telemetry, counts=data.clu_counts)
+            count_visits=cfg.telemetry,
+            counts=data.clu_counts if cfg.chunk_skip else None)
 
         def closest(o, d, m, block=None):
             return closest_p(o, d, m, block=block or cfg.ray_block)

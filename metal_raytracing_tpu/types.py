@@ -241,8 +241,16 @@ class RenderConfig:
     # "morton"
     bvh_builder: str = "sah"
     # sah_chunk per-visit machinery cost in 128-wide chunk-test units
-    # (higher = fewer, fuller clusters)
+    # (higher = fewer, fuller clusters).  NOTE: sah_chunk measured a clear
+    # NEGATIVE on dragon 1024^2 (361 vs 277 ms/sample at ~1040 clusters,
+    # bounce visits 12.26 -> 20.6): per-visit machinery ~0.7us dominates
+    # the chunk-test savings, and the SA cost model undercounts correlated
+    # sibling visits.  Kept as a knob for low-machinery future kernels.
     bvh_alpha: float = 2.0
+    # Pass per-cluster counts to the kernels so partially-full clusters
+    # skip all-padding trailing chunks (only active when the build marks
+    # spec.partial_clusters).
+    chunk_skip: bool = True
     # SBVH-style spatial pre-split budget (extra references as a fraction
     # of the triangle count; 0 disables).  Splits huge triangles into
     # clipped references so cluster AABBs stay tight.  MEASURED NEGATIVE
