@@ -97,6 +97,11 @@ def main() -> int:
         ("sahfree_c512_sb512", dict(bvh_builder="sah_free",
                                     cluster_size=512,
                                     shadow_ray_block=512)),
+        # host-side global seed A/B (default ON): per-ray seed keys +
+        # pre-sort shadow occlusion fold
+        ("hostseed_off", dict(host_seed=False)),
+        ("best_combo", dict(bvh_builder="sah_free", cluster_size=512,
+                            shadow_ray_block=512)),
     ]
     if args.variants:
         keep = set(args.variants.split(","))

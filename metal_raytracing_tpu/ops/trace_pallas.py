@@ -481,15 +481,66 @@ def _dense_any(tri_ref, base, c_size, tri_scratch, ocol, dcol, mask_col,
     return acc
 
 
+def global_seed_keys(o, d, mask, tri, spec: BVHSpec):
+    """Per-ray packed global-seed keys, computed HOST-side (plain XLA,
+    fused into the surrounding ray setup).
+
+    Replaces the in-kernel global seed: the kernels then read ONE (1, R)
+    i32 row per tile instead of dense-testing 128 global slots per tile
+    (~0.5 us x every live tile x every pass).  The key layout matches the
+    in-kernel packing exactly — (t bits & ~IDX_MASK) | in-set index — so
+    the walk consumes it unchanged; t comes from an exact divide (the
+    kernel's Newton-refined approx differs by <= 2^-16, both far inside
+    the 2^-14 key chop).  Returns (N,) int32 (INIT key where missed)."""
+    gb, ng = spec.global_base, spec.num_global
+    rows = tri[:, gb:gb + ng]  # (12, ng)
+    n3 = rows[0:3]
+    den = d @ n3  # (N, ng)
+    num = rows[3][None, :] - o @ n3
+    safe = jnp.where(jnp.abs(den) < 1e-20,
+                     jnp.where(den < 0, -1e-20, 1e-20), den)
+    t = num / safe
+    # u/v via dot forms (no (N, ng, 3) intermediate): u = o.U + t d.U + uw
+    u = o @ rows[4:7] + t * (d @ rows[4:7]) + rows[7][None, :]
+    v = o @ rows[8:11] + t * (d @ rows[8:11]) + rows[11][None, :]
+    hit = ((u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t > 1e-6)
+           & mask[:, None])
+    ti = jax.lax.bitcast_convert_type(t, jnp.int32)
+    key = (ti & ~IDX_MASK) | jnp.arange(ng, dtype=jnp.int32)[None, :]
+    key = jnp.where(hit, key, _INIT_KEY)
+    return jnp.min(key, axis=1)
+
+
+def global_any_hit(o, d, max_t, mask, tri, spec: BVHSpec):
+    """Host-side occlusion against the global set; the caller folds the
+    result into the kernel mask (``trace_any(seed_global=False)``) so
+    globally-occluded rays compact into fully-dead tiles the kernel
+    skips at ~zero cost.  Returns (N,) bool."""
+    gb, ng = spec.global_base, spec.num_global
+    rows = tri[:, gb:gb + ng]
+    n3 = rows[0:3]
+    den = d @ n3
+    num = rows[3][None, :] - o @ n3
+    safe = jnp.where(jnp.abs(den) < 1e-20,
+                     jnp.where(den < 0, -1e-20, 1e-20), den)
+    t = num / safe
+    u = o @ rows[4:7] + t * (d @ rows[4:7]) + rows[7][None, :]
+    v = o @ rows[8:11] + t * (d @ rows[8:11]) + rows[11][None, :]
+    hit = ((u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t > 1e-6)
+           & (t <= max_t[:, None]) & mask[:, None])
+    return jnp.any(hit, axis=1)
+
+
 def _closest_kernel(*refs,
                     s_per: int, c_size: int, r: int, tb: int,
                     g_base: int = 0, g_chunks: int = 0, n_global: int = 0,
                     g_planes: tuple = (), use_counts: bool = False,
+                    host_seed: bool = False,
                     count_visits: bool = False):
   ray_refs = refs[:7]  # ox oy oz dx dy dz maskf
-  (sup_ref, clu_ref, tri_ref, gtri_ref, cnt_ref, t_out_ref,
-   tri_out_ref) = refs[7:14]
-  rest = refs[14:]
+  (sup_ref, clu_ref, tri_ref, gtri_ref, cnt_ref, seed_ref, t_out_ref,
+   tri_out_ref) = refs[7:15]
+  rest = refs[15:]
   # Optional telemetry output: clusters visited per ray tile (the traversal
   # cost driver — VERDICT.md round 1 asks for p50/p90 in the bench).
   if count_visits:
@@ -604,7 +655,13 @@ def _closest_kernel(*refs,
         return jnp.min(st[0]) < BIG_T * 0.5
 
     svis0 = jnp.zeros((nsp, 1), jnp.float32)
-    if n_global:
+    if host_seed:
+        # the packed global-seed key was computed ONCE per ray on the
+        # host side (renderer._global_closest_seed) — one (1, R) row
+        # read replaces the whole per-tile in-kernel seed test
+        key0 = seed_ref[t, :][None, :]
+        base0 = jnp.full((1, r), g_base, jnp.int32)
+    elif n_global:
         key0, base0 = _seed_rows_closest(gts, g_base, o_rows, d_rows,
                                          None, mask_row, r)
     elif g_chunks:
@@ -634,8 +691,9 @@ def _any_kernel(*refs, s_per: int, c_size: int, r: int, tb: int,
                 g_planes: tuple = (), use_counts: bool = False,
                 count_visits: bool = False):
   ray_refs = refs[:8]  # ox oy oz dx dy dz maskf tmax
-  sup_ref, clu_ref, tri_ref, gtri_ref, cnt_ref, occ_ref = refs[8:14]
-  rest = refs[14:]
+  (sup_ref, clu_ref, tri_ref, gtri_ref, cnt_ref, _seed_unused,
+   occ_ref) = refs[8:15]
+  rest = refs[15:]
   if count_visits:
       vis_ref, *scratch_refs = rest
   else:
@@ -750,6 +808,7 @@ def _closest_flat_kernel(*refs, c_size: int, r: int, tb: int,
                          g_base: int = 0, g_chunks: int = 0,
                          n_global: int = 0, g_planes: tuple = (),
                          use_counts: bool = False,
+                         host_seed: bool = False,
                          count_visits: bool = False):
   """Single-level traversal: extract-min directly over ALL cluster AABBs.
 
@@ -762,9 +821,9 @@ def _closest_flat_kernel(*refs, c_size: int, r: int, tb: int,
   ~10 ops) — cheap up to ~1k clusters; bigger scenes keep the hierarchy
   (see FLAT_MAX_CLUSTERS)."""
   ray_refs = refs[:7]  # ox oy oz dx dy dz maskf
-  (cluf_ref, _clu_unused, tri_ref, gtri_ref, cnt_ref, t_out_ref,
-   tri_out_ref) = refs[7:14]
-  rest = refs[14:]
+  (cluf_ref, _clu_unused, tri_ref, gtri_ref, cnt_ref, seed_ref,
+   t_out_ref, tri_out_ref) = refs[7:15]
+  rest = refs[15:]
   if count_visits:
       vis_ref, *scratch_refs = rest
   else:
@@ -827,7 +886,10 @@ def _closest_flat_kernel(*refs, c_size: int, r: int, tb: int,
         return jnp.min(st[0]) < BIG_T * 0.5
 
     cvis0 = jnp.zeros((ncp, 1), jnp.float32)
-    if n_global:
+    if host_seed:
+        key0 = seed_ref[t, :][None, :]
+        base0 = jnp.full((1, r), g_base, jnp.int32)
+    elif n_global:
         key0, base0 = _seed_rows_closest(gts, g_base, o_rows, d_rows,
                                          None, mask_row, r)
     elif g_chunks:
@@ -857,8 +919,9 @@ def _any_flat_kernel(*refs, c_size: int, r: int, tb: int,
                      count_visits: bool = False):
   """Single-level any-hit walk; see :func:`_closest_flat_kernel`."""
   ray_refs = refs[:8]  # ox oy oz dx dy dz maskf tmax
-  cluf_ref, _clu_unused, tri_ref, gtri_ref, cnt_ref, occ_ref = refs[8:14]
-  rest = refs[14:]
+  (cluf_ref, _clu_unused, tri_ref, gtri_ref, cnt_ref, _seed_unused,
+   occ_ref) = refs[8:15]
+  rest = refs[15:]
   if count_visits:
       vis_ref, *scratch_refs = rest
   else:
@@ -965,8 +1028,14 @@ def _tiles_per_step(nb: int, want: int = 8) -> int:
 
 
 def _pallas_trace(kernel, out_shapes, out_specs, ray_comps,
-                  sup, clu, tri, gtri, cnt, n_steps, tb, block, stream,
-                  c_size):
+                  sup, clu, tri, gtri, cnt, seed, n_steps, tb, block,
+                  stream, c_size):
+    if seed is None:
+        seed = jnp.zeros((1, 1), jnp.int32)
+        seed_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    else:
+        seed_spec = pl.BlockSpec((tb, block), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)
     grid_spec = pl.GridSpec(
         grid=(n_steps,),
         in_specs=[
@@ -983,6 +1052,8 @@ def _pallas_trace(kernel, out_shapes, out_specs, ray_comps,
             # per-cluster triangle counts ((NCP,) i32, or a (1,) dummy)
             # for the partial-cluster chunk skip
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            # host-computed global-seed keys ((NB, R) i32, or a dummy)
+            seed_spec,
         ],
         out_specs=out_specs,
         scratch_shapes=(
@@ -994,7 +1065,7 @@ def _pallas_trace(kernel, out_shapes, out_specs, ray_comps,
         grid_spec=grid_spec,
         out_shape=out_shapes,
         interpret=_should_interpret(),
-    )(*ray_comps, sup, clu, tri, gtri, cnt)
+    )(*ray_comps, sup, clu, tri, gtri, cnt, seed)
 
 
 def _should_stream(tri) -> bool:
@@ -1043,7 +1114,8 @@ def recompute_tuv(o, d, rows, eps: float = 1e-20):
 def trace_closest(o, d, mask, sup, clu, tri, spec: BVHSpec,
                   block: int = 128, tiles_per_step: int = 8,
                   stream=None, count_visits: bool = False,
-                  exact_uv: bool = True, flat=None, counts=None):
+                  exact_uv: bool = True, flat=None, counts=None,
+                  seed_key=None):
     """Closest-hit query via the hierarchical Pallas tracer.
 
     ``sup``/``clu``/``tri`` are the prepacked planes from
@@ -1078,19 +1150,26 @@ def trace_closest(o, d, mask, sup, clu, tri, spec: BVHSpec,
     if stream:
         tri = jnp.pad(tri, ((0, 16 - N_TRI_PLANES), (0, 0)))
 
-    # Seed-path selection: scalar unroll for a handful of globals, dense
-    # chunk test for large sets, nothing when the scene has none.
+    # Seed-path selection: host-computed per-ray seed keys beat every
+    # in-kernel form (no per-tile seed work at all); else scalar unroll
+    # for a handful of globals, dense chunk test for large sets, nothing
+    # when the scene has none.
     ng = spec.num_global
-    scalar_seed = 0 < ng <= GLOBAL_SCALAR_MAX
+    host_seed = seed_key is not None and ng > 0
+    scalar_seed = (not host_seed) and 0 < ng <= GLOBAL_SCALAR_MAX
     gkw = dict(g_base=spec.global_base,
-               g_chunks=0 if scalar_seed else spec.padded_global // CHUNK,
+               g_chunks=(0 if scalar_seed or host_seed
+                         else spec.padded_global // CHUNK),
                n_global=ng if scalar_seed else 0,
-               g_planes=spec.global_planes if scalar_seed else ())
-    if ng:
+               g_planes=spec.global_planes if scalar_seed else (),
+               host_seed=host_seed)
+    if ng and not host_seed:
         gtri = tri[0:N_TRI_PLANES,
                    spec.global_base:spec.global_base + ng].T  # (G, 12)
     else:
         gtri = jnp.zeros((1, N_TRI_PLANES), jnp.float32)
+    seed = (seed_key.astype(jnp.int32).reshape(nb, block) if host_seed
+            else None)
     # Partial-cluster chunk skip (sah_free builds): per-cluster triangle
     # counts let the dense test skip all-padding trailing chunks.
     use_counts = counts is not None and spec.partial_clusters
@@ -1121,8 +1200,8 @@ def trace_closest(o, d, mask, sup, clu, tri, spec: BVHSpec,
         out_specs += (pl.BlockSpec((tb, 1, block), lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM),)
     out = _pallas_trace(kernel, out_shapes, out_specs, ray_comps, sup,
-                        clu, tri, gtri, cnt, n_steps, tb, block, stream,
-                        spec.cluster_size)
+                        clu, tri, gtri, cnt, seed, n_steps, tb, block,
+                        stream, spec.cluster_size)
     t_chop = out[0].reshape(n)
     tri_id = out[1].reshape(n)
     if exact_uv:
@@ -1145,7 +1224,8 @@ def trace_closest(o, d, mask, sup, clu, tri, spec: BVHSpec,
 
 def trace_any(o, d, max_t, mask, sup, clu, tri, spec: BVHSpec,
               block: int = 128, tiles_per_step: int = 8, stream=None,
-              count_visits: bool = False, flat=None, counts=None):
+              count_visits: bool = False, flat=None, counts=None,
+              seed_global: bool = True):
     """Any-hit occlusion query via the hierarchical Pallas tracer.
 
     With ``count_visits=True`` returns ``(occluded, (NB,) visits)`` —
@@ -1166,8 +1246,10 @@ def trace_any(o, d, max_t, mask, sup, clu, tri, spec: BVHSpec,
         tri = jnp.pad(tri, ((0, 16 - N_TRI_PLANES), (0, 0)))
 
     # Seed-path selection: scalar unroll for a handful of globals, dense
-    # chunk test for large sets, nothing when the scene has none.
-    ng = spec.num_global
+    # chunk test for large sets, nothing when the scene has none.  With
+    # ``seed_global=False`` the CALLER already resolved global-set
+    # occlusion (folded into ``mask``) and the kernels skip it entirely.
+    ng = spec.num_global if seed_global else 0
     scalar_seed = 0 < ng <= GLOBAL_SCALAR_MAX
     gkw = dict(g_base=spec.global_base,
                g_chunks=0 if scalar_seed else spec.padded_global // CHUNK,
@@ -1203,8 +1285,8 @@ def trace_any(o, d, max_t, mask, sup, clu, tri, spec: BVHSpec,
     out = _pallas_trace(
         kernel, out_shapes if count_visits else out_shapes[0],
         out_specs if count_visits else out_specs[0],
-        ray_comps, sup, clu, tri, gtri, cnt, n_steps, tb, block, stream,
-        spec.cluster_size)
+        ray_comps, sup, clu, tri, gtri, cnt, None, n_steps, tb, block,
+        stream, spec.cluster_size)
     if count_visits:
         return out[0].reshape(n) > 0, out[1][:, 0, 0]
     return out.reshape(n) > 0

@@ -134,6 +134,7 @@ def _make_tracers(data: SceneData, spec: SceneSpec, cfg: RenderConfig):
     elif cfg.tracer == "pallas":
         from .ops import trace_pallas
 
+        host_seed = cfg.host_seed and spec.bvh.num_global > 0
         closest_p = functools.partial(
             trace_pallas.trace_closest, sup=data.sup_planes,
             clu=data.clu_planes, tri=data.tri_planes, spec=spec.bvh,
@@ -146,10 +147,17 @@ def _make_tracers(data: SceneData, spec: SceneSpec, cfg: RenderConfig):
             trace_pallas.trace_any, sup=data.sup_planes,
             clu=data.clu_planes, tri=data.tri_planes, spec=spec.bvh,
             count_visits=cfg.telemetry,
-            counts=data.clu_counts if cfg.chunk_skip else None)
+            counts=data.clu_counts if cfg.chunk_skip else None,
+            # with the host-side fold the kernels never test the
+            # global set (render_rays masks occluded rays instead)
+            seed_global=not host_seed)
 
         def closest(o, d, m, block=None):
-            return closest_p(o, d, m, block=block or cfg.ray_block)
+            seed = (trace_pallas.global_seed_keys(
+                        o, d, m, data.tri_planes, spec.bvh)
+                    if host_seed else None)
+            return closest_p(o, d, m, block=block or cfg.ray_block,
+                             seed_key=seed)
 
         def any_hit(o, d, mt, m, block=None):
             return any_p(o, d, mt, m, block=block or cfg.ray_block)
@@ -470,6 +478,23 @@ def render_rays(
             tele_stats[f"shadow_b{bounce}"] = n_shadow
         shadow_o = pos + ns * 1e-3  # :350
         sdist = ls.distance - 1e-3
+        # Host-side global-set occlusion (pallas + cfg.host_seed): rays
+        # the scene-spanning planes occlude are resolved HERE and masked
+        # out of the kernel query — after the shadow re-sort they compact
+        # into fully-dead tiles the kernel skips at ~zero cost.  They
+        # still count as traced shadow rays (the test happened, host-side
+        # — same accounting as the former in-kernel seed).
+        if (tracer_kind == "pallas" and cfg.host_seed
+                and spec.bvh.num_global > 0):
+            from .ops import trace_pallas as _tp
+
+            g_occ = _tp.global_any_hit(shadow_o, ls.direction, sdist,
+                                       do_shadow, data.tri_planes,
+                                       spec.bvh)
+            kernel_shadow = do_shadow & ~g_occ
+        else:
+            g_occ = jnp.zeros_like(do_shadow)
+            kernel_shadow = do_shadow
         if cfg.shadow_sort and cfg.compaction and (
                 bounce > 0 or cfg.shadow_sort_primary):
             # Shadow re-sort (see RenderConfig.shadow_sort): shadow origins
@@ -489,7 +514,7 @@ def render_rays(
             shift = 29 - bits_l
             mm = m if shift >= 27 else (m >> (27 - shift))
             skey = (light_idx << shift) | mm
-            skey = jnp.where(do_shadow, skey, jnp.int32(2**30))
+            skey = jnp.where(kernel_shadow, skey, jnp.int32(2**30))
             slot = jnp.arange(p, dtype=jnp.int32)
             ss = jax.lax.sort(
                 (skey, shadow_o[:, 0], shadow_o[:, 1], shadow_o[:, 2],
@@ -508,11 +533,11 @@ def render_rays(
             u = jax.lax.sort(packed, dimension=0, is_stable=False)
             occluded = (u & 1) > 0
         else:
-            occluded = any_fn(shadow_o, ls.direction, sdist, do_shadow,
+            occluded = any_fn(shadow_o, ls.direction, sdist, kernel_shadow,
                               block=pblock if bounce == 0 else None)
             if cfg.telemetry and tracer_kind == "pallas":
                 occluded, tele_stats[f"shadow_visits_b{bounce}"] = occluded
-        visible = do_shadow & ~occluded
+        visible = do_shadow & ~occluded & ~g_occ
         if cfg.enable_refraction:
             # Dielectric extension (the reference's own declared next
             # feature, reference README.md:8; Ni/d are carried in the ABI,

@@ -251,6 +251,12 @@ class RenderConfig:
     # skip all-padding trailing chunks (only active when the build marks
     # spec.partial_clusters).
     chunk_skip: bool = True
+    # Compute the global-set seed HOST-side (one fused XLA pass per ray
+    # set) instead of in-kernel per tile: closest passes read a per-ray
+    # packed seed key; shadow rays occluded by the global set fold into
+    # the kernel mask BEFORE the shadow re-sort, compacting into dead
+    # tiles the kernel skips.  pallas tracer only.
+    host_seed: bool = True
     # SBVH-style spatial pre-split budget (extra references as a fraction
     # of the triangle count; 0 disables).  Splits huge triangles into
     # clipped references so cluster AABBs stay tight.  MEASURED NEGATIVE

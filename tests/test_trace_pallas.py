@@ -206,3 +206,36 @@ def test_pallas_chunk_skip_matches_full_unroll(flat):
                           data.clu_planes, data.tri_planes, spec.bvh,
                           counts=data.clu_counts, **kw)
     np.testing.assert_array_equal(np.asarray(skip_a), np.asarray(full_a))
+
+
+def test_host_seed_matches_kernel_seed(scene_data):
+    """The host-computed global-seed key path (trace_closest seed_key=...)
+    must agree with the in-kernel chunk seed.  In interpret mode both
+    divides are exact, so the packed keys — and therefore hits — match
+    bit-for-bit; on hardware they may differ only inside the 2^-14 key
+    chop (covered by the image-level parity gates)."""
+    data, spec = scene_data
+    assert spec.bvh.num_global > 0
+    o, d = _rays(256, seed=13)
+    mask = jnp.ones((256,), bool)
+    base = TP.trace_closest(o, d, mask, data.sup_planes, data.clu_planes,
+                            data.tri_planes, spec.bvh, block=128)
+    skey = TP.global_seed_keys(o, d, mask, data.tri_planes, spec.bvh)
+    seeded = TP.trace_closest(o, d, mask, data.sup_planes, data.clu_planes,
+                              data.tri_planes, spec.bvh, block=128,
+                              seed_key=skey)
+    np.testing.assert_array_equal(np.asarray(seeded.tri),
+                                  np.asarray(base.tri))
+    np.testing.assert_array_equal(np.asarray(seeded.t), np.asarray(base.t))
+    # any-hit: host fold (mask out globally-occluded rays + seed_global
+    # False) must equal the in-kernel seeded query
+    max_t = jnp.full((256,), 4.0)
+    base_a = TP.trace_any(o, d, max_t, mask, data.sup_planes,
+                          data.clu_planes, data.tri_planes, spec.bvh,
+                          block=128)
+    g_occ = TP.global_any_hit(o, d, max_t, mask, data.tri_planes, spec.bvh)
+    folded = TP.trace_any(o, d, max_t, mask & ~g_occ, data.sup_planes,
+                          data.clu_planes, data.tri_planes, spec.bvh,
+                          block=128, seed_global=False)
+    np.testing.assert_array_equal(np.asarray(folded | g_occ),
+                                  np.asarray(base_a))
