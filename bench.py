@@ -40,12 +40,19 @@ def _bench_scene(scene_name: str, size, samples: int, tracer: str,
 
     w, h = size
     scene = get_scene(scene_name, w, h)
-    pb = os.environ.get("BENCH_PRIMARY_BLOCK", "")
+    # Env knobs override RenderConfig fields ONLY when set; otherwise the
+    # config defaults (tuned in types.py — e.g. primary/shadow_ray_block)
+    # apply.  Round-3 lesson: unconditionally passing None here silently
+    # defeated the pb512 default (279 vs 253 ms/sample on dragon).
+    overrides = {}
+    if os.environ.get("BENCH_RAY_BLOCK"):
+        overrides["ray_block"] = int(os.environ["BENCH_RAY_BLOCK"])
+    if os.environ.get("BENCH_PRIMARY_BLOCK"):
+        overrides["primary_ray_block"] = int(os.environ["BENCH_PRIMARY_BLOCK"])
+    if os.environ.get("BENCH_PRESPLIT"):
+        overrides["bvh_presplit"] = float(os.environ["BENCH_PRESPLIT"])
     cfg = RenderConfig(
-        width=w, height=h, max_bounces=3, tracer=tracer,
-        ray_block=int(os.environ.get("BENCH_RAY_BLOCK", "128")),
-        primary_ray_block=int(pb) if pb else None,
-        bvh_presplit=float(os.environ.get("BENCH_PRESPLIT", "0.0")))
+        width=w, height=h, max_bounces=3, tracer=tracer, **overrides)
     renderer = Renderer(scene, cfg)
     result = benchmark_renderer(renderer, samples=samples, warmup=1)
 

@@ -175,6 +175,13 @@ def main() -> int:
     R._make_tracers = stub_tracers
     try:
         timed("pipeline_b3_stub_tracer", run(cfg))
+        # In-pipeline sort costs (microbench sort timings overestimate —
+        # XLA fuses the key computation and operand staging differently in
+        # context).  Deltas against the stub pipeline isolate each sort.
+        timed("pipeline_b3_stub_noshadowsort",
+              run(dataclasses.replace(cfg, shadow_sort=False)))
+        timed("pipeline_b3_stub_nocompact",
+              run(dataclasses.replace(cfg, compaction=False)))
     finally:
         R._make_tracers = orig
     return 0

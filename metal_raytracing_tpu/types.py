@@ -249,8 +249,12 @@ class RenderConfig:
     bvh_alpha: float = 2.0
     # Pass per-cluster counts to the kernels so partially-full clusters
     # skip all-padding trailing chunks (only active when the build marks
-    # spec.partial_clusters).
-    chunk_skip: bool = True
+    # spec.partial_clusters).  Default OFF: on the one build class that
+    # triggers it (sah_free c512, ~16% padding chunks) the per-chunk
+    # conds measured 277.1 vs 271.7 ms/sample — the skipped dense work
+    # is cheaper than the cond machinery.  The mechanism stays for
+    # future builders with sparser clusters.
+    chunk_skip: bool = False
     # Compute the global-set seed HOST-side (one fused XLA pass per ray
     # set) instead of in-kernel per tile: closest passes read a per-ray
     # packed seed key; shadow rays occluded by the global set fold into
@@ -277,11 +281,12 @@ class RenderConfig:
     # saves ~13).  None = use ray_block.
     primary_ray_block: Optional[int] = 512
     # Traversal block for the RE-SORTED bounce shadow passes.  After the
-    # (light, Morton) re-sort ~82% of shadow blocks resolve with ZERO
+    # (light, Morton) re-sort ~75-82% of shadow blocks resolve with ZERO
     # cluster visits (global-seed occlusion or slab miss) — purely
     # fixed-cost-bound, so bigger blocks amortize machinery the way
-    # primaries do.  None = ray_block.
-    shadow_ray_block: Optional[int] = None
+    # primaries do.  512 measured 253.4 vs 262.3 ms/sample on dragon
+    # 1024^2 (256 was neutral-negative).  None = ray_block.
+    shadow_ray_block: Optional[int] = 512
     # Wavefront compaction: permute rays so live rays pack into full
     # traversal blocks between bounces (the realized version of the
     # reference's dead bitonic-sort divergence experiment,
