@@ -27,6 +27,11 @@ def main() -> int:
     ap.add_argument("--scene", default="dragon")
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--clusters", default="384,128")
+    ap.add_argument("--rays", default="primary",
+                    choices=("primary", "bounce"),
+                    help="bounce: cosine-sampled rays from the primary hit "
+                         "points, dir6-sorted like the pipeline — the "
+                         "incoherent workload that dominates a sample")
     args = ap.parse_args()
 
     from metal_raytracing_tpu.utils.cache import enable_compilation_cache
@@ -66,6 +71,42 @@ def main() -> int:
 
         if os.environ.get("KVC_MISS"):
             d = -d  # rays point away from the scene: zero visits
+        if args.rays == "bounce":
+            # Realistic bounce-1 workload: cosine-hemisphere directions
+            # around the primary geometric normal, compacted + dir6-sorted
+            # exactly like renderer.render_rays does between bounces.
+            import metal_raytracing_tpu.sampling as sampling
+
+            hit = trace_pallas.trace_closest(
+                o, d, mask, data.sup_planes, data.clu_planes,
+                data.tri_planes, spec.bvh, block=128)
+            tri = jnp.maximum(hit.tri, 0)
+            row = data.shade_table[tri]
+            nrow = row[:, 16:19]
+            nrm = nrow / jnp.linalg.norm(nrow, axis=-1, keepdims=True)
+            nrm = jnp.where((jnp.sum(nrm * d, axis=-1) > 0)[:, None],
+                            -nrm, nrm)
+            pos = o + d * jnp.where(hit.found, hit.t, 0.0)[:, None]
+            idx = jnp.arange(d.shape[0], dtype=jnp.int32)
+            r2 = jnp.stack([sampling.halton(idx, 11),
+                            sampling.halton(idx, 13)], axis=-1)
+            local = sampling.sample_cosine_weighted_hemisphere(r2)
+            nd = sampling.align_hemisphere_with_normal(local, nrm)
+            no = pos + nrm * 1e-3
+            alive = hit.found
+            m512 = R._morton_512(no, data)
+            q = jnp.clip(((nd + 1.0) * 2).astype(jnp.int32), 0, 3)
+            dirq = (q[:, 0] << 4) | (q[:, 1] << 2) | q[:, 2]
+            key = (dirq << 24) | (m512 >> 3)
+            key = jnp.where(alive, key, jnp.int32(2 ** 30))
+            s = jax.lax.sort((key, no[:, 0], no[:, 1], no[:, 2],
+                              nd[:, 0], nd[:, 1], nd[:, 2]),
+                             dimension=0, is_stable=False, num_keys=1)
+            o = jnp.stack(s[1:4], axis=1)
+            d = jnp.stack(s[4:7], axis=1)
+            mask = s[0] < jnp.int32(2 ** 30)
+            o, d, mask = jax.device_put(o), jax.device_put(d), \
+                jax.device_put(mask)
         f = jax.jit(lambda o, d, m: trace_pallas.trace_closest(
             o, d, m, data.sup_planes, data.clu_planes, data.tri_planes,
             spec.bvh, block=128, exact_uv=False).t)

@@ -102,6 +102,18 @@ def main() -> int:
         ("hostseed_off", dict(host_seed=False)),
         ("best_combo", dict(bvh_builder="sah_free", cluster_size=512,
                             shadow_ray_block=512)),
+        # primary-shadow re-sort re-measure: pre-host-seed it was neutral
+        # (398 vs 402); now the host-seed occlusion fold compacts the
+        # g_occ rays into fully-dead tiles ONLY under the re-sort, and
+        # sorted shadow passes get sblock=512 amortization
+        ("shadowsort_primary", dict(shadow_sort_primary=True)),
+        # nearest-cluster broad-phase bounce key: blocks share their first
+        # traversal visit by construction (the dominant cost is bounce
+        # visits x dense tests, and dir6 only approximates target
+        # coherence)
+        ("cluster1", dict(sort_key="cluster1")),
+        ("cluster1_nofold", dict(sort_key="cluster1",
+                                 cluster_miss_fold=False)),
     ]
     if args.variants:
         keep = set(args.variants.split(","))

@@ -511,6 +511,48 @@ def global_seed_keys(o, d, mask, tri, spec: BVHSpec):
     return jnp.min(key, axis=1)
 
 
+def nearest_cluster(o, d, mask, clu, spec: BVHSpec, max_t=None):
+    """Per-ray id of the NEAREST slab-hit leaf cluster (host-side broad
+    phase for the ``cluster1`` bounce sort key).
+
+    Blocks built from rays that share their nearest cluster share their
+    first traversal visit BY CONSTRUCTION — the direction-cone key (dir6)
+    only approximates that.  Plain XLA: the (N, NC) slab chain fuses into
+    one packed-key min-reduce, no (N, NC) materialization.  Returns (N,)
+    int32 in [0, NC]; NC = no cluster overlap (sky / global-set-only rays,
+    which then group into zero-visit traversal blocks).
+
+    With ``max_t`` (shadow segments) only clusters entered before max_t
+    count — NC then PROVES the segment is occlusion-free in the clustered
+    BVH (the global set is tested separately host-side)."""
+    ns, s, _ = clu.shape
+    boxes = clu.reshape(ns * s, 6)  # columns: lox loy loz hix hiy hiz
+    lo = boxes[:, 0:3][None, :, :]  # (1, NC, 3)
+    hi = boxes[:, 3:6][None, :, :]
+    inv = _safe_inv_row(d)[:, None, :]  # (N, 1, 3)
+    oc = o[:, None, :]
+    t0 = (lo - oc) * inv
+    t1 = (hi - oc) * inv
+    tn = jnp.max(jnp.minimum(t0, t1), axis=-1)  # (N, NC)
+    tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    hit = ((tn <= tf) & (tf >= 0.0) & (boxes[:, 3] >= boxes[:, 0])[None, :]
+           & mask[:, None])
+    if max_t is not None:
+        hit = hit & (tn <= max_t[:, None])
+    tn = jnp.maximum(tn, 0.0)
+    # pack (entry distance, cluster id) into one i32: positive-float bit
+    # patterns order like their values, and a 2^-11-relative chop of tn
+    # (12 id bits) only affects which of two near-equidistant clusters
+    # leads a SORT KEY — not traversal correctness
+    idm = (1 << 12) - 1
+    ti = jax.lax.bitcast_convert_type(tn, jnp.int32)
+    key = (ti & ~idm) | jnp.arange(ns * s, dtype=jnp.int32)[None, :]
+    sent = jnp.int32((np.float32(BIG_T).view(np.int32).item() & ~idm) | idm)
+    key = jnp.where(hit, key, sent)
+    best = jnp.min(key, axis=1)
+    return jnp.where(best == sent, jnp.int32(ns * s), best & idm)
+
+
 def global_any_hit(o, d, max_t, mask, tri, spec: BVHSpec):
     """Host-side occlusion against the global set; the caller folds the
     result into the kernel mask (``trace_any(seed_global=False)``) so

@@ -111,7 +111,7 @@ def _make_tracers(data: SceneData, spec: SceneSpec, cfg: RenderConfig):
         any_p = functools.partial(
             trace_ops.trace_any_bruteforce, geometry=data.geometry)
 
-        def closest(o, d, m, block=None):
+        def closest(o, d, m, block=None, seed=None):
             return closest_p(o, d, m)
 
         def any_hit(o, d, mt, m, block=None):
@@ -126,7 +126,7 @@ def _make_tracers(data: SceneData, spec: SceneSpec, cfg: RenderConfig):
             node_lo=data.node_lo, node_hi=data.node_hi, spec=spec.bvh,
             block=cfg.ray_block)
 
-        def closest(o, d, m, block=None):
+        def closest(o, d, m, block=None, seed=None):
             return closest_p(o, d, m)
 
         def any_hit(o, d, mt, m, block=None):
@@ -152,10 +152,10 @@ def _make_tracers(data: SceneData, spec: SceneSpec, cfg: RenderConfig):
             # global set (render_rays masks occluded rays instead)
             seed_global=not host_seed)
 
-        def closest(o, d, m, block=None):
-            seed = (trace_pallas.global_seed_keys(
-                        o, d, m, data.tri_planes, spec.bvh)
-                    if host_seed else None)
+        def closest(o, d, m, block=None, seed=None):
+            if seed is None and host_seed:
+                seed = trace_pallas.global_seed_keys(
+                    o, d, m, data.tri_planes, spec.bvh)
             return closest_p(o, d, m, block=block or cfg.ray_block,
                              seed_key=seed)
 
@@ -277,7 +277,11 @@ def render_rays(
     prev_tri = jnp.full((p,), -1, jnp.int32)
 
     for bounce in range(cfg.max_bounces):
+        # set per bounce by the cluster1 sort: live rays whose broad phase
+        # proved they cannot hit any CLUSTER (only sky / the global set)
+        known_miss = None
         if cfg.compaction and bounce > 0:
+            cluster1_bits = None  # set when the cluster1 key is active
             if cfg.sort_bounces:
                 # Sorted compaction: live rays ordered by (direction octant,
                 # origin Morton) so each traversal block's rays share BVH
@@ -290,7 +294,30 @@ def render_rays(
                 octant = ((d[:, 0] > 0).astype(jnp.int32)
                           + 2 * (d[:, 1] > 0).astype(jnp.int32)
                           + 4 * (d[:, 2] > 0).astype(jnp.int32))
-                if cfg.sort_key == "hybrid":
+                nc_tot = (data.clu_planes.shape[0] * data.clu_planes.shape[1]
+                          if (tracer_kind == "pallas"
+                              and data.clu_planes is not None) else 1 << 30)
+                if cfg.sort_key == "cluster1" and nc_tot <= 4095:
+                    # Group rays by their NEAREST slab-hit cluster (one
+                    # fused host-side broad phase), then direction cone,
+                    # then origin Morton: a block's rays share their first
+                    # traversal visit by construction instead of by the
+                    # dir6 proxy.  Cluster ids are Morton-ordered by the
+                    # builder, so nearby ids are nearby in space and the
+                    # id-major order keeps inter-block locality too.
+                    from .ops import trace_pallas as _tp
+
+                    cid = _tp.nearest_cluster(o, d, alive, data.clu_planes,
+                                              spec.bvh)
+                    cbits = max(1, nc_tot.bit_length())
+                    q = jnp.clip(((d + 1.0) * 2).astype(jnp.int32), 0, 3)
+                    dirq = (q[:, 0] << 4) | (q[:, 1] << 2) | q[:, 2]
+                    mbits = max(0, 30 - cbits - 6)
+                    key = ((cid << (30 - cbits))
+                           | (dirq << mbits)
+                           | (m >> (27 - mbits)))
+                    cluster1_bits = cbits  # miss-fold decodes cid post-sort
+                elif cfg.sort_key == "hybrid":
                     # coarse origin cell (top 2 Morton bits/axis), then
                     # direction octant, then fine origin Morton: blocks
                     # share a region AND a direction cone.
@@ -351,6 +378,14 @@ def render_rays(
             idx = s[13]
             alive = s[0] < jnp.int32(2**30)
             cur = s[14]
+            if (cluster1_bits is not None and cfg.cluster_miss_fold
+                    and tracer_kind == "pallas"):
+                # broad-phase-proved cluster misses: the cluster1 key packs
+                # them contiguously (cid == nc_tot) just below the dead
+                # sentinel, so they form fully-dead traversal tiles once
+                # masked out of the kernel query below
+                known_miss = alive & (
+                    (s[0] >> (30 - cluster1_bits)) == jnp.int32(nc_tot))
 
         n_alive = jnp.sum(alive.astype(jnp.int32))
         closest_count += n_alive
@@ -360,10 +395,35 @@ def render_rays(
         # Fully dead tiles (the compacted suffix after a bounce sort,
         # image padding) are skipped inside the pallas kernel from the
         # mask itself at ~zero cost.
-        hit = closest_fn(o, d, alive,
-                         block=pblock if bounce == 0 else None)
+        gkey = None
+        if known_miss is not None and spec.bvh.num_global > 0:
+            # ONE fused global-set pass serves both the kernel's host seed
+            # (folded rays excluded via the INIT sentinel) and the
+            # host-side hits of the folded rays below.
+            from .ops import trace_pallas as _tp
+
+            gkey = _tp.global_seed_keys(o, d, alive, data.tri_planes,
+                                        spec.bvh)
+        hit = closest_fn(
+            o, d, alive if known_miss is None else alive & ~known_miss,
+            block=pblock if bounce == 0 else None,
+            seed=(jnp.where(known_miss, jnp.int32(_tp._INIT_KEY), gkey)
+                  if gkey is not None and cfg.host_seed else None))
         if cfg.telemetry and tracer_kind == "pallas":
             hit, tele_stats[f"visits_b{bounce}"] = hit
+        if gkey is not None:
+            # Global-set hits of the folded rays: same chopped-t packing
+            # the kernel would have returned (exact t is recomputed from
+            # the shade row either way).  Sky rays stay misses.
+            from .ops import trace_pallas as _tp
+
+            gfound = known_miss & (gkey < jnp.int32(_tp._MISS_KEY))
+            hit = hit._replace(
+                t=jnp.where(gfound, _tp._key_to_t(gkey), hit.t),
+                tri=jnp.where(
+                    gfound,
+                    spec.bvh.global_base + (gkey & _tp.IDX_MASK),
+                    hit.tri))
 
         if cfg.env_map and spec.has_env_map:
             escaped = alive & ~hit.found
@@ -511,9 +571,32 @@ def render_rays(
             # those shadows); rays with no shadow work sort last into
             # whole dead blocks the kernel exits at fixed cost
             bits_l = max(1, (lcount - 1).bit_length())
-            shift = 29 - bits_l
-            mm = m if shift >= 27 else (m >> (27 - shift))
-            skey = (light_idx << shift) | mm
+            nc_tot_s = (data.clu_planes.shape[0] * data.clu_planes.shape[1]
+                        if (tracer_kind == "pallas"
+                            and data.clu_planes is not None) else 1 << 30)
+            if cfg.sort_key == "cluster1" and nc_tot_s <= 4095:
+                # Cluster-first shadow key: group by the nearest cluster
+                # the SEGMENT can hit (likeliest occluder), then light,
+                # then origin Morton.  Segments with NO cluster overlap
+                # are PROVEN clear — with cluster_miss_fold they skip the
+                # kernel entirely (global-set occlusion was already folded
+                # into kernel_shadow above).
+                from .ops import trace_pallas as _tp
+
+                scid = _tp.nearest_cluster(shadow_o, ls.direction,
+                                           kernel_shadow, data.clu_planes,
+                                           spec.bvh, max_t=sdist)
+                if cfg.cluster_miss_fold:
+                    kernel_shadow = kernel_shadow & (scid < nc_tot_s)
+                cbits_s = max(1, nc_tot_s.bit_length())
+                mbits_s = max(0, 30 - cbits_s - bits_l)
+                skey = ((scid << (30 - cbits_s))
+                        | (light_idx << mbits_s)
+                        | (m >> max(0, 27 - mbits_s)))
+            else:
+                shift = 29 - bits_l
+                mm = m if shift >= 27 else (m >> (27 - shift))
+                skey = (light_idx << shift) | mm
             skey = jnp.where(kernel_shadow, skey, jnp.int32(2**30))
             slot = jnp.arange(p, dtype=jnp.int32)
             ss = jax.lax.sort(

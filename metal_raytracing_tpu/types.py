@@ -299,8 +299,20 @@ class RenderConfig:
     # Bounce sort-key layout: "dir6"/"dir9" (direction quantized to 2/3
     # bits per axis, then origin Morton — dir6 measured 11% over the
     # octant key) | "dir_major" (octant then origin Morton) | "hybrid"
-    # (coarse origin cell, then octant, then fine Morton).
+    # (coarse origin cell, then octant, then fine Morton) | "cluster1"
+    # (pallas only: NEAREST slab-hit cluster id from a fused host-side
+    # broad phase, then dir6 cone, then Morton — blocks share their first
+    # traversal visit by construction; falls back to dir_major when the
+    # padded cluster count exceeds the key's 12 id bits or the tracer has
+    # no packed cluster planes).
     sort_key: str = "dir6"
+    # With sort_key="cluster1": rays whose broad phase finds NO cluster
+    # overlap (sky rays, or rays that can only hit the scene-spanning
+    # global set) are masked out of the closest-hit kernel — the cluster1
+    # key packs them into fully-dead tiles the kernel skips, and their
+    # global-set hits are resolved host-side from the same fused pass the
+    # host seed uses.  Identity transform; knob exists for A/B.
+    cluster_miss_fold: bool = True
     # Re-sort bounce-shadow rays by (light index, hit-point Morton) before
     # the occlusion pass: a shadow ray's direction is determined by its
     # origin (it points at the sampled light), so one origin key buys both

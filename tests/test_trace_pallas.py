@@ -106,6 +106,69 @@ def test_pallas_renderer_image(scene_data):
     assert rmse(ref, got) < 5e-5
 
 
+def test_pallas_cluster1_sort_key_is_pure_permutation():
+    """The cluster1 bounce key (nearest-cluster broad phase) reorders
+    traversal blocks only — same image as the default dir6 key on the
+    pallas tracer (tolerance for 512-ulp t-tie winner flips, as in
+    tests/test_renderer.py::test_sort_keys_are_pure_permutations)."""
+    from metal_raytracing_tpu.renderer import Renderer
+    from metal_raytracing_tpu.scenes import plane_sphere_scene
+    from metal_raytracing_tpu.types import RenderConfig
+    from metal_raytracing_tpu.io.image import rmse
+
+    scene = plane_sphere_scene(32, 32)
+    cfg_ref = RenderConfig(width=32, height=32, max_bounces=3,
+                           tracer="pallas", ray_block=128)
+    cfg_c1 = RenderConfig(width=32, height=32, max_bounces=3,
+                          tracer="pallas", ray_block=128,
+                          sort_key="cluster1")
+    ref = Renderer(scene, cfg_ref).render(1)
+    got = Renderer(scene, cfg_c1).render(1)
+    assert rmse(ref, got) < 1e-7
+
+
+def test_nearest_cluster_broad_phase(scene_data):
+    """nearest_cluster returns the id of the slab-hit cluster with the
+    smallest entry distance (oracle: per-ray numpy slab over all boxes)."""
+    import numpy as np
+
+    from metal_raytracing_tpu.ops import trace_pallas as TP
+
+    data, spec = scene_data
+    o, d = _rays(128, seed=3)
+    mask = jnp.ones((128,), bool)
+    got = np.asarray(TP.nearest_cluster(o, d, mask, data.clu_planes,
+                                        spec.bvh))
+    boxes = np.asarray(data.clu_planes).reshape(-1, 6)
+    on, dn = np.asarray(o), np.asarray(d)
+    nc = boxes.shape[0]
+    def entry_t(i, c):
+        lo, hi = boxes[c, 0:3], boxes[c, 3:6]
+        if not (hi[0] >= lo[0]):
+            return None  # empty padding box
+        inv = 1.0 / np.where(np.abs(dn[i]) < 1e-12,
+                             np.where(dn[i] < 0, -1e-12, 1e-12), dn[i])
+        t0 = (lo - on[i]) * inv
+        t1 = (hi - on[i]) * inv
+        tn = np.max(np.minimum(t0, t1))
+        tf = np.min(np.maximum(t0, t1))
+        return max(tn, 0.0) if (tn <= tf and tf >= 0.0) else None
+
+    for i in range(0, 128, 7):
+        hits = [(entry_t(i, c), c) for c in range(nc)]
+        hits = [(t, c) for t, c in hits if t is not None]
+        if not hits:
+            assert got[i] == nc
+            continue
+        best_t = min(t for t, _ in hits)
+        assert got[i] != nc
+        t_got = entry_t(i, int(got[i]))
+        # the packed key chops tn to 2^-11 relative: the returned cluster
+        # must be within one chop step of the true nearest
+        assert t_got is not None
+        assert t_got <= best_t * (1.0 + 2.0 ** -10) + 1e-6
+
+
 def test_pallas_uv_test_parity():
     """Thin grazing geometry (the uv_test building of slim cylinders) is
     where the chopped-t shade origin used to break the < 1e-3 cross-tracer
