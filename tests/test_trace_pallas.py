@@ -127,6 +127,38 @@ def test_pallas_cluster1_sort_key_is_pure_permutation():
     assert rmse(ref, got) < 1e-7
 
 
+def test_pallas_cluster1_many_lights_no_leak():
+    """The cluster1 SHADOW key packs (cluster id, light index, Morton);
+    with >= 8 lights the light field widens and must not push the key
+    into the 2**30 dead sentinel or truncate cluster bits (the analog of
+    tests/test_renderer.py::test_shadow_sort_many_lights_no_leak)."""
+    import numpy as np
+
+    from metal_raytracing_tpu.renderer import Renderer
+    from metal_raytracing_tpu.scenes import plane_sphere_scene
+    from metal_raytracing_tpu.types import RenderConfig, area_light
+    from metal_raytracing_tpu.io.image import rmse
+
+    def scene_with_lights():
+        s = plane_sphere_scene(24, 24)
+        for i in range(8):  # 10 lights total, indices > 7
+            a = 2.0 * np.pi * i / 8.0
+            s.lights.append(area_light(
+                position=(1.5 * np.cos(a), 1.9, 1.5 * np.sin(a)),
+                forward=(0.0, -1.0, 0.0), right=(0.1, 0.0, 0.0),
+                up=(0.0, 0.0, 0.1), color=(2.0, 2.0, 2.0)))
+        return s
+
+    base = RenderConfig(width=24, height=24, max_bounces=2, tracer="pallas",
+                        ray_block=128)
+    import dataclasses
+
+    c1 = dataclasses.replace(base, sort_key="cluster1")
+    ref = Renderer(scene_with_lights(), base).render(1)
+    got = Renderer(scene_with_lights(), c1).render(1)
+    assert rmse(ref, got) < 1e-7
+
+
 def test_nearest_cluster_broad_phase(scene_data):
     """nearest_cluster returns the id of the slab-hit cluster with the
     smallest entry distance (oracle: per-ray numpy slab over all boxes)."""
