@@ -527,14 +527,19 @@ def nearest_cluster(o, d, mask, clu, spec: BVHSpec, max_t=None):
     BVH (the global set is tested separately host-side)."""
     ns, s, _ = clu.shape
     boxes = clu.reshape(ns * s, 6)  # columns: lox loy loz hix hiy hiz
-    lo = boxes[:, 0:3][None, :, :]  # (1, NC, 3)
-    hi = boxes[:, 3:6][None, :, :]
-    inv = _safe_inv_row(d)[:, None, :]  # (N, 1, 3)
-    oc = o[:, None, :]
-    t0 = (lo - oc) * inv
-    t1 = (hi - oc) * inv
-    tn = jnp.max(jnp.minimum(t0, t1), axis=-1)  # (N, NC)
-    tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    # Per-component (N, NC) ops, rays in sublanes x clusters in lanes — a
+    # single (N, NC, 3) chain would put the xyz axis in the LANE dim (3 of
+    # 128 lanes used, the narrow-lane-dim trap; see BASELINE.md).
+    inv = _safe_inv_row(d)  # (N, 3)
+    tn = None
+    tf = None
+    for a in range(3):
+        t0 = (boxes[None, :, a] - o[:, a:a + 1]) * inv[:, a:a + 1]
+        t1 = (boxes[None, :, a + 3] - o[:, a:a + 1]) * inv[:, a:a + 1]
+        lo_a = jnp.minimum(t0, t1)
+        hi_a = jnp.maximum(t0, t1)
+        tn = lo_a if tn is None else jnp.maximum(tn, lo_a)
+        tf = hi_a if tf is None else jnp.minimum(tf, hi_a)
     hit = ((tn <= tf) & (tf >= 0.0) & (boxes[:, 3] >= boxes[:, 0])[None, :]
            & mask[:, None])
     if max_t is not None:
