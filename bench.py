@@ -51,6 +51,8 @@ def _bench_scene(scene_name: str, size, samples: int, tracer: str,
         overrides["primary_ray_block"] = int(os.environ["BENCH_PRIMARY_BLOCK"])
     if os.environ.get("BENCH_PRESPLIT"):
         overrides["bvh_presplit"] = float(os.environ["BENCH_PRESPLIT"])
+    if os.environ.get("BENCH_SORT_KEY"):
+        overrides["sort_key"] = os.environ["BENCH_SORT_KEY"]
     cfg = RenderConfig(
         width=w, height=h, max_bounces=3, tracer=tracer, **overrides)
     renderer = Renderer(scene, cfg)

@@ -511,7 +511,8 @@ def global_seed_keys(o, d, mask, tri, spec: BVHSpec):
     return jnp.min(key, axis=1)
 
 
-def nearest_cluster(o, d, mask, clu, spec: BVHSpec, max_t=None):
+def nearest_cluster(o, d, mask, clu, spec: BVHSpec, max_t=None,
+                    return_key: bool = False):
     """Per-ray id of the NEAREST slab-hit leaf cluster (host-side broad
     phase for the ``cluster1`` bounce sort key).
 
@@ -555,7 +556,12 @@ def nearest_cluster(o, d, mask, clu, spec: BVHSpec, max_t=None):
     sent = jnp.int32((np.float32(BIG_T).view(np.int32).item() & ~idm) | idm)
     key = jnp.where(hit, key, sent)
     best = jnp.min(key, axis=1)
-    return jnp.where(best == sent, jnp.int32(ns * s), best & idm)
+    cid = jnp.where(best == sent, jnp.int32(ns * s), best & idm)
+    if return_key:
+        # the packed (chopped entry-t | id) winner: callers compare its
+        # t bits against the global-seed hit to prove cluster walks moot
+        return cid, best
+    return cid
 
 
 def global_any_hit(o, d, max_t, mask, tri, spec: BVHSpec):

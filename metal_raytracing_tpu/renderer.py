@@ -307,8 +307,27 @@ def render_rays(
                     # id-major order keeps inter-block locality too.
                     from .ops import trace_pallas as _tp
 
-                    cid = _tp.nearest_cluster(o, d, alive, data.clu_planes,
-                                              spec.bvh)
+                    cid, nckey = _tp.nearest_cluster(
+                        o, d, alive, data.clu_planes, spec.bvh,
+                        return_key=True)
+                    if cfg.cluster_miss_fold and spec.bvh.num_global > 0:
+                        # Rays whose NEAREST cluster is entered beyond
+                        # their global-set hit cannot find a closer hit in
+                        # any cluster (triangle t >= cluster entry t) —
+                        # fold them into the NC group: they skip the
+                        # kernel and take the host-side global hit.  One
+                        # chop step of margin covers both keys' truncated
+                        # mantissas.
+                        gk = _tp.global_seed_keys(o, d, alive,
+                                                  data.tri_planes, spec.bvh)
+                        tn_f = jax.lax.bitcast_convert_type(
+                            nckey & ~jnp.int32((1 << 12) - 1), jnp.float32)
+                        g_plus = jax.lax.bitcast_convert_type(
+                            (gk & ~jnp.int32(_tp.IDX_MASK))
+                            + jnp.int32(1 << 9), jnp.float32)
+                        beats = (gk < jnp.int32(_tp._MISS_KEY)) & (
+                            tn_f >= g_plus)
+                        cid = jnp.where(beats, jnp.int32(nc_tot), cid)
                     cbits = max(1, nc_tot.bit_length())
                     q = jnp.clip(((d + 1.0) * 2).astype(jnp.int32), 0, 3)
                     dirq = (q[:, 0] << 4) | (q[:, 1] << 2) | q[:, 2]
