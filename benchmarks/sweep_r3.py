@@ -114,6 +114,17 @@ def main() -> int:
         ("cluster1", dict(sort_key="cluster1")),
         ("cluster1_nofold", dict(sort_key="cluster1",
                                  cluster_miss_fold=False)),
+        # bigger bounce blocks under the cluster1 key: blocks share their
+        # first visit by construction, so the coherence collapse that made
+        # rb256/rb512 lose under dir6 may no longer apply — and block-size
+        # fixed cost is the measured floor
+        ("cluster1_rb256", dict(sort_key="cluster1", ray_block=256)),
+        ("cluster1_rb512", dict(sort_key="cluster1", ray_block=512)),
+        # skip the final bounce's compaction sort (one fewer 15-operand
+        # 1M sort; the last bounce inherits the previous order)
+        ("sortlast0", dict(sort_last_bounce=False)),
+        ("cluster1_sortlast0", dict(sort_key="cluster1",
+                                    sort_last_bounce=False)),
     ]
     if args.variants:
         keep = set(args.variants.split(","))

@@ -280,7 +280,9 @@ def render_rays(
         # set per bounce by the cluster1 sort: live rays whose broad phase
         # proved they cannot hit any CLUSTER (only sky / the global set)
         known_miss = None
-        if cfg.compaction and bounce > 0:
+        if (cfg.compaction and bounce > 0
+                and (cfg.sort_last_bounce
+                     or bounce < cfg.max_bounces - 1)):
             cluster1_bits = None  # set when the cluster1 key is active
             if cfg.sort_bounces:
                 # Sorted compaction: live rays ordered by (direction octant,

@@ -296,6 +296,12 @@ class RenderConfig:
     # octant so traversal blocks stay spatially coherent after the first
     # bounce (costs one argsort per bounce; identical image).
     sort_bounces: bool = True
+    # Skip the compaction sort before the FINAL bounce: the last bounce's
+    # rays inherit the previous bounce's (still mostly coherent) order,
+    # trading some traversal coherence for one fewer 15-operand 1M-row
+    # sort (~18 ms) + key compute.  Identical image (the sort is a pure
+    # permutation); knob exists for A/B.
+    sort_last_bounce: bool = True
     # Bounce sort-key layout: "dir6"/"dir9" (direction quantized to 2/3
     # bits per axis, then origin Morton — dir6 measured 11% over the
     # octant key) | "dir_major" (octant then origin Morton) | "hybrid"

@@ -180,6 +180,20 @@ def test_compaction_matches_uncompacted(small_scene):
     assert rmse(img_on, img_off) < 1e-7
 
 
+def test_sort_last_bounce_skip_is_pure_permutation(small_scene):
+    """Skipping the final bounce's compaction sort (sort_last_bounce=False)
+    only changes traversal ORDER — per-ray radiance returns to its pixel
+    through the carried ``cur`` slot either way.  Tolerance, not exact
+    zero: a t TIE between coincident triangles can resolve to a different
+    (identically placed) winner depending on block composition, same
+    caveat as the sort-key cross tests (ADVICE round 2 #4)."""
+    img_on = Renderer(small_scene, _cfg(max_bounces=3,
+                                        sort_last_bounce=True)).render(2)
+    img_off = Renderer(small_scene, _cfg(max_bounces=3,
+                                         sort_last_bounce=False)).render(2)
+    assert rmse(img_on, img_off) < 1e-7
+
+
 def test_shadow_sort_is_pure_permutation(small_scene):
     """The (light, hit-point Morton) shadow re-sort (RenderConfig.shadow_sort)
     reorders occlusion queries only — the image must be bit-identical."""
