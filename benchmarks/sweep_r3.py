@@ -125,6 +125,9 @@ def main() -> int:
         ("sortlast0", dict(sort_last_bounce=False)),
         ("cluster1_sortlast0", dict(sort_key="cluster1",
                                     sort_last_bounce=False)),
+        # f16-pair packed throughput/radiance sort payload (15 -> 12
+        # operands on the 1M-row bounce compaction sorts)
+        ("packf16", dict(sort_pack_f16=True)),
     ]
     if args.variants:
         keep = set(args.variants.split(","))

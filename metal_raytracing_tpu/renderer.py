@@ -82,6 +82,26 @@ def _expand_bits_9(v: jnp.ndarray) -> jnp.ndarray:
     return v
 
 
+def _pack2f16(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Round two f32 arrays to f16 and pack the bit patterns into one
+    int32 word (``a`` high, ``b`` low) — a sort-payload compressor
+    (RenderConfig.sort_pack_f16)."""
+    ua = jax.lax.bitcast_convert_type(a.astype(jnp.float16), jnp.uint16)
+    ub = jax.lax.bitcast_convert_type(b.astype(jnp.float16), jnp.uint16)
+    return jax.lax.bitcast_convert_type(
+        (ua.astype(jnp.uint32) << 16) | ub.astype(jnp.uint32), jnp.int32)
+
+
+def _unpack2f16(w: jnp.ndarray) -> tuple:
+    """Inverse of :func:`_pack2f16` (exact on the stored f16 values)."""
+    u = jax.lax.bitcast_convert_type(w, jnp.uint32)
+    a = jax.lax.bitcast_convert_type(
+        (u >> 16).astype(jnp.uint16), jnp.float16)
+    b = jax.lax.bitcast_convert_type(
+        (u & 0xFFFF).astype(jnp.uint16), jnp.float16)
+    return a.astype(jnp.float32), b.astype(jnp.float32)
+
+
 def _morton_512(points: jnp.ndarray, data: SceneData) -> jnp.ndarray:
     """27-bit Morton codes of points on a 512^3 grid over the root AABB —
     the shared origin half of both the bounce and shadow sort keys."""
@@ -386,19 +406,35 @@ def render_rays(
             # sorts are cheaper.  Partition-only mode keeps is_stable=True:
             # ALL live keys are equal there, and stability is precisely
             # what preserves the tile-major coherence that mode exists for.
+            operands = [key, o[:, 0], o[:, 1], o[:, 2],
+                        d[:, 0], d[:, 1], d[:, 2]]
+            if cfg.sort_pack_f16:
+                # throughput + radiance ride as 3 packed f16-pair words
+                # (see RenderConfig.sort_pack_f16) — geometry stays exact
+                operands += [_pack2f16(color[:, 0], color[:, 1]),
+                             _pack2f16(color[:, 2], accum[:, 0]),
+                             _pack2f16(accum[:, 1], accum[:, 2])]
+            else:
+                operands += [color[:, 0], color[:, 1], color[:, 2],
+                             accum[:, 0], accum[:, 1], accum[:, 2]]
+            operands += [idx, cur]
             s = jax.lax.sort(
-                (key, o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
-                 color[:, 0], color[:, 1], color[:, 2],
-                 accum[:, 0], accum[:, 1], accum[:, 2],
-                 idx, cur),
+                tuple(operands),
                 dimension=0, is_stable=not cfg.sort_bounces, num_keys=1)
             o = jnp.stack(s[1:4], axis=1)
             d = jnp.stack(s[4:7], axis=1)
-            color = jnp.stack(s[7:10], axis=1)
-            accum = jnp.stack(s[10:13], axis=1)
-            idx = s[13]
+            if cfg.sort_pack_f16:
+                c0, c1 = _unpack2f16(s[7])
+                c2, a0 = _unpack2f16(s[8])
+                a1, a2 = _unpack2f16(s[9])
+                color = jnp.stack([c0, c1, c2], axis=1)
+                accum = jnp.stack([a0, a1, a2], axis=1)
+            else:
+                color = jnp.stack(s[7:10], axis=1)
+                accum = jnp.stack(s[10:13], axis=1)
+            idx = s[-2]
             alive = s[0] < jnp.int32(2**30)
-            cur = s[14]
+            cur = s[-1]
             if (cluster1_bits is not None and cfg.cluster_miss_fold
                     and tracer_kind == "pallas"):
                 # broad-phase-proved cluster misses: the cluster1 key packs

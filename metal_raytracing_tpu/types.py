@@ -302,6 +302,14 @@ class RenderConfig:
     # sort (~18 ms) + key compute.  Identical image (the sort is a pure
     # permutation); knob exists for A/B.
     sort_last_bounce: bool = True
+    # Carry path throughput + per-ray radiance through the bounce
+    # compaction sort as three packed f16-PAIR words instead of six f32
+    # operands (15 -> 12 sort operands; the 1M-row multi-operand sort's
+    # cost is ~linear in operand count).  Rounds those six values to f16
+    # (2^-11 relative) once per bounce sort — well inside the 1e-3 pixel
+    # budget, but not bit-exact, and radiance above f16 max (65504)
+    # would saturate.  Geometry (o, d) and indices stay f32/i32 exact.
+    sort_pack_f16: bool = False
     # Bounce sort-key layout: "dir6"/"dir9" (direction quantized to 2/3
     # bits per axis, then origin Morton — dir6 measured 11% over the
     # octant key) | "dir_major" (octant then origin Morton) | "hybrid"

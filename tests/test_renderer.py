@@ -194,6 +194,19 @@ def test_sort_last_bounce_skip_is_pure_permutation(small_scene):
     assert rmse(img_on, img_off) < 1e-7
 
 
+def test_sort_pack_f16_stays_inside_pixel_budget(small_scene):
+    """The packed-f16 sort payload (RenderConfig.sort_pack_f16) rounds
+    throughput/radiance to f16 once per bounce sort — the image must stay
+    far inside the 1e-3 parity budget, and the pack/unpack round-trip
+    must actually engage (identical would mean the knob is dead code)."""
+    ref = Renderer(small_scene, _cfg(max_bounces=3)).render(2)
+    img = Renderer(small_scene, _cfg(max_bounces=3,
+                                     sort_pack_f16=True)).render(2)
+    err = rmse(ref, img)
+    assert err < 3e-4
+    assert err > 0.0  # the rounding is real
+
+
 def test_shadow_sort_is_pure_permutation(small_scene):
     """The (light, hit-point Morton) shadow re-sort (RenderConfig.shadow_sort)
     reorders occlusion queries only — the image must be bit-identical."""
