@@ -182,6 +182,12 @@ def main() -> int:
               run(dataclasses.replace(cfg, shadow_sort=False)))
         timed("pipeline_b3_stub_nocompact",
               run(dataclasses.replace(cfg, compaction=False)))
+        # new round-3 sort knobs: their whole effect is non-traversal,
+        # so the stub deltas ARE their pipeline savings
+        timed("pipeline_b3_stub_packf16",
+              run(dataclasses.replace(cfg, sort_pack_f16=True)))
+        timed("pipeline_b3_stub_sortlast0",
+              run(dataclasses.replace(cfg, sort_last_bounce=False)))
     finally:
         R._make_tracers = orig
     return 0
