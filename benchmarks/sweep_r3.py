@@ -128,6 +128,16 @@ def main() -> int:
         # f16-pair packed throughput/radiance sort payload (15 -> 12
         # operands on the 1M-row bounce compaction sorts)
         ("packf16", dict(sort_pack_f16=True)),
+        # shadow blocks are ~82% zero-visit (fixed-cost-bound) — push the
+        # amortization one more doubling past the adopted sb512
+        ("shadowb1024", dict(shadow_ray_block=1024)),
+        # endgame combo: every individually-queued knob at once, so a
+        # candidate new default gets a same-process number next to its
+        # components (cluster1 + skip-last-sort + f16 sort payload)
+        ("endgame", dict(sort_key="cluster1", sort_last_bounce=False,
+                         sort_pack_f16=True)),
+        ("endgame_rb256", dict(sort_key="cluster1", sort_last_bounce=False,
+                               sort_pack_f16=True, ray_block=256)),
     ]
     if args.variants:
         keep = set(args.variants.split(","))
