@@ -69,34 +69,61 @@ def halton(i: jnp.ndarray, d: int) -> jnp.ndarray:
     if b == 2:
         return _halton_base2(i)
     n_digits = int(np.ceil(np.log(_MAX_INDEX) / np.log(b)))
-    # All-f32 digit loop: int32 divide/multiply lower to multi-pass
+    # All-f32 PAIRED digit loop: int32 divide/multiply lower to multi-pass
     # magic-number sequences on the TPU VPU, while f32 mul/floor/select
-    # are single-pass.  Exactness: indices are < 2^22 (_MAX_INDEX) so x
-    # and every quotient is an exact f32 integer; x*inv_b carries
-    # <= x * 2^-23 < 0.5 absolute error, so floor(x*inv_b) is off by at
-    # most ONE either way and the single correction below repairs it; the
-    # products q*b of exact integers < 2^24 are themselves exact, so the
-    # recovered digit is the exact integer remainder.  Digit VALUES are
+    # are single-pass.  Two digits are peeled per iteration via one
+    # base-b^2 floor-divide (halving the serial quotient chain), and the
+    # reference's running f *= 1/b products are precomputed as numpy-f32
+    # scalar constants with the identical rounding sequence (the ladder is
+    # index-independent), removing that chain entirely.
+    #
+    # Exactness: indices are < 2^22 (_MAX_INDEX) so x and every quotient
+    # is an exact f32 integer; fl(x * fl(1/b^2)) carries combined relative
+    # error <= ~2^-23, i.e. absolute error <= x * 2^-23 < 0.5, so the
+    # floor is off by at most ONE either way and the single correction
+    # below repairs it; the products q*b^2 of exact integers stay < 2^23
+    # and are themselves exact, so the recovered base-b^2 remainder D is
+    # the exact integer remainder.  The digit split D = d0 + b*d1 uses
+    # the same argument (D < b^2 <= 541^2 < 2^19).  Digit VALUES are
     # therefore bit-identical to the reference's integer loop
-    # (Raytracing.metal:41-56), and the f *= 1/b accumulation order is
-    # unchanged, so the result bits are too.
-    inv_b = jnp.float32(1.0) / jnp.float32(b)
-    bf = jnp.float32(b)
-    x = i.astype(jnp.float32)
-    f = jnp.full(i.shape, 1.0, jnp.float32)
-    r = jnp.zeros(i.shape, jnp.float32)
+    # (Raytracing.metal:41-56), and r accumulates one fl(f_k * d_k) add
+    # per digit in the reference's order with the reference's exact f_k,
+    # so the result bits are too (verified digit-by-digit in
+    # tests/test_sampling.py against the scalar transcription).
+    fs = []
+    f_np = np.float32(1.0)
+    inv_np = np.float32(1.0) / np.float32(b)
     for _ in range(n_digits):
-        f = f * inv_b
-        q = jnp.floor(x * inv_b)
-        dig = x - q * bf
-        low = dig < 0.0  # q one too large
+        f_np = np.float32(f_np * inv_np)
+        fs.append(float(f_np))
+    b2 = b * b
+    inv_b = float(inv_np)
+    inv_b2 = float(np.float32(1.0) / np.float32(b2))
+    bf = float(b)
+    b2f = float(b2)
+
+    def _divmod_f32(x, inv, base):
+        q = jnp.floor(x * inv)
+        rem = x - q * base
+        low = rem < 0.0  # q one too large
         q = jnp.where(low, q - 1.0, q)
-        dig = jnp.where(low, dig + bf, dig)
-        high = dig >= bf  # q one too small
+        rem = jnp.where(low, rem + base, rem)
+        high = rem >= base  # q one too small
         q = jnp.where(high, q + 1.0, q)
-        dig = jnp.where(high, dig - bf, dig)
-        r = r + f * dig
-        x = q
+        rem = jnp.where(high, rem - base, rem)
+        return q, rem
+
+    x = i.astype(jnp.float32)
+    r = jnp.zeros(i.shape, jnp.float32)
+    for k in range(0, n_digits, 2):
+        if k + 1 < n_digits:
+            x, big = _divmod_f32(x, inv_b2, b2f)  # big = x mod b^2
+            d1, d0 = _divmod_f32(big, inv_b, bf)  # big = d0 + b*d1
+            r = r + fs[k] * d0
+            r = r + fs[k + 1] * d1
+        else:  # odd final digit
+            x, d0 = _divmod_f32(x, inv_b, bf)
+            r = r + fs[k] * d0
     return r
 
 
