@@ -326,6 +326,15 @@ def _box_cols(ref):
 # tests/test_trace_pallas.py).
 GLOBAL_SCALAR_MAX = 0
 
+# Benchmark-only ablation hook (benchmarks/fixed_cost.py): a set of
+# component names the closest kernel OMITS at trace time, so the per-tile
+# fixed cost (the round-3 binding floor) can be decomposed by cumulative
+# subtraction on the real chip.  Production value is the empty set — any
+# non-empty value produces WRONG intersections by design.  Recognized:
+# "slab" (super broad phase), "seed" (global-set seed), "views" (packed
+# ray transpose + inv rows), "body" (entire live-tile body -> writes only).
+ABLATE: frozenset = frozenset()
+
 
 def _read_gtri_scalars(gtri_ref, n_global):
     """Hoist the (G, 12) SMEM plane scalars out of the per-tile loop."""
@@ -628,15 +637,36 @@ def _closest_kernel(*refs,
     return _carry
 
   def _live_tile_body(t):
-    (o_rows, d_rows, inv_rows, ocol, dcol, mask_row, mask_col,
-     _, _) = _ray_views(ray_refs, t)
-
-    sup_cols = _box_cols(sup_ref)
-    tn_s, hit_s = _slab_cols(sup_cols, o_rows, inv_rows, BIG_T)  # (nsp, R)
-    hit_s = hit_s & mask_row
-    tn_s = jnp.maximum(tn_s, 0.0)
+    if "body" in ABLATE:  # residual floor: tile loop + mask check + writes
+        t_out_ref[t, 0, :] = jnp.full((r,), BIG_T, jnp.float32)
+        tri_out_ref[t, 0, :] = jnp.full((r,), -1, jnp.int32)
+        if count_visits:
+            vis_ref[t, 0, :] = jnp.zeros((r,), jnp.float32)
+        return
+    if "views" in ABLATE:  # skip the packed transpose + the 3 inv divides
+        rows = [ray_refs[i][t, :] for i in range(7)]
+        o_rows = tuple(x[None, :] for x in rows[0:3])
+        d_rows = tuple(x[None, :] for x in rows[3:6])
+        inv_rows = d_rows
+        z = jnp.zeros((r, 1), jnp.float32)
+        ocol = (z, z, z)
+        dcol = (z, z, z)
+        mask_row = rows[6][None, :] > 0.0
+        mask_col = z > -1.0
+    else:
+        (o_rows, d_rows, inv_rows, ocol, dcol, mask_row, mask_col,
+         _, _) = _ray_views(ray_refs, t)
 
     nsp = sup_ref.shape[0]  # supers padded only to a sublane multiple
+    if "slab" in ABLATE:  # no broad phase: every super scores BIG_T
+        tn_s = jnp.zeros((nsp, r), jnp.float32)
+        hit_s = tn_s > 1.0
+    else:
+        sup_cols = _box_cols(sup_ref)
+        tn_s, hit_s = _slab_cols(sup_cols, o_rows, inv_rows, BIG_T)
+        hit_s = hit_s & mask_row
+        tn_s = jnp.maximum(tn_s, 0.0)
+
     sup_iota = jax.lax.broadcasted_iota(jnp.int32, (nsp, 1), 0)
     clu_iota = jax.lax.broadcasted_iota(jnp.int32, (s_per, 1), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (r, CHUNK), 1)
@@ -708,7 +738,10 @@ def _closest_kernel(*refs,
         return jnp.min(st[0]) < BIG_T * 0.5
 
     svis0 = jnp.zeros((nsp, 1), jnp.float32)
-    if host_seed:
+    if "seed" in ABLATE:
+        key0 = jnp.full((1, r), _INIT_KEY, jnp.int32)
+        base0 = jnp.zeros((1, r), jnp.int32)
+    elif host_seed:
         # the packed global-seed key was computed ONCE per ray on the
         # host side (renderer._global_closest_seed) — one (1, R) row
         # read replaces the whole per-tile in-kernel seed test
