@@ -138,6 +138,16 @@ def main() -> int:
                          sort_pack_f16=True)),
         ("endgame_rb256", dict(sort_key="cluster1", sort_last_bounce=False,
                                sort_pack_f16=True, ray_block=256)),
+        # --- batch13: re-measures UNDER the adopted cluster1 default ---
+        # cluster1 folded most dead tiles, so per-tile fixed cost no
+        # longer masks visit reductions — builder/cluster-size knobs that
+        # measured flat under dir6 deserve a re-run (c640/c768 stayed
+        # removed: they need IDX_BITS=10).
+        ("dir6", dict(sort_key="dir6")),  # old-default anchor
+        ("skip_on", dict(chunk_skip=True)),
+        ("sahfree_c512_skip", dict(bvh_builder="sah_free", cluster_size=512,
+                                   chunk_skip=True)),
+        ("sahfree_skip", dict(bvh_builder="sah_free", chunk_skip=True)),
     ]
     if args.variants:
         keep = set(args.variants.split(","))
