@@ -95,6 +95,35 @@ def main() -> int:
         spec.bvh))
     timed("primary_any_standalone", anyf, o, d, tmax, mask)
 
+    # --- layout probes: how much of the standalone closest cost is the
+    # (N, 3) minor-dim slice (lane-padded layout) + the exact-uv epilogue
+    # gather, vs the kernel itself?
+    closest_nouv = jax.jit(lambda o, d, m: trace_pallas.trace_closest(
+        o, d, m, data.sup_planes, data.clu_planes, data.tri_planes,
+        spec.bvh, exact_uv=False).t)
+    timed("primary_closest_nouv", closest_nouv, o, d, mask)
+    # host-side cluster1 machinery at pipeline size: the fused broad
+    # phase ((N, NC) slab argmin) and the global-seed key pass — paid
+    # once per bounce sort + once per shadow sort when the key is active
+    timed("nearest_cluster_1M",
+          jax.jit(lambda o, d, m: trace_pallas.nearest_cluster(
+              o, d, m, data.clu_planes, spec.bvh, return_key=True)[1]),
+          o, d, mask)
+    if spec.bvh.num_global:
+        timed("global_seed_keys_1M",
+              jax.jit(lambda o, d, m: trace_pallas.global_seed_keys(
+                  o, d, m, data.tri_planes, spec.bvh)), o, d, mask)
+
+    ocomp = tuple(jnp.ravel(o[:, i]) for i in range(3))
+    dcomp = tuple(jnp.ravel(d[:, i]) for i in range(3))
+    closest_pre = jax.jit(lambda ox, oy, oz, dx, dy, dz, m:
+                          trace_pallas.trace_closest(
+                              (ox, oy, oz), (dx, dy, dz), m,
+                              data.sup_planes, data.clu_planes,
+                              data.tri_planes, spec.bvh,
+                              exact_uv=False).t)
+    timed("primary_closest_prepacked", closest_pre, *ocomp, *dcomp, mask)
+
     # --- full pipeline at increasing depth
     def run(cfg_v):
         f = jax.jit(lambda dd, oo: R.render_sample(dd, spec, cfg_v, oo,

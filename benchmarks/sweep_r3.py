@@ -144,6 +144,17 @@ def main() -> int:
         # measured flat under dir6 deserve a re-run (c640/c768 stayed
         # removed: they need IDX_BITS=10).
         ("dir6", dict(sort_key="dir6")),  # old-default anchor
+        # primary block size: pb512 was adopted pre-cluster1; the primary
+        # closest pass is now ~42 ms standalone and its per-visit dense
+        # cost scales with R — re-probe the neighbors
+        ("pb256", dict(primary_ray_block=256)),
+        # finer 512-cone secondary direction bits under the cluster1 id
+        ("cluster1_dir9", dict(sort_key="cluster1_dir9")),
+        # batch14/15 winners composed: dir9 cones (-4.5%) + pb1024 (-2.3%)
+        ("dir9_pb1024", dict(sort_key="cluster1_dir9",
+                             primary_ray_block=1024)),
+        # second-nearest cluster id below the first in the bounce key
+        ("cluster2", dict(sort_key="cluster2")),
         ("skip_on", dict(chunk_skip=True)),
         ("sahfree_c512_skip", dict(bvh_builder="sah_free", cluster_size=512,
                                    chunk_skip=True)),

@@ -234,12 +234,15 @@ class RenderConfig:
     # (aligned lane slices); 384 measured best on the dragon scene (bigger
     # leaves amortize the per-visit extract-min machinery).
     cluster_size: int = 384
-    # Leaf clustering strategy: "sah" (binned surface-area heuristic,
-    # fewest clusters visited) | "sah_free" (cluster-granular splits,
-    # partially-full clusters) | "sah_chunk" (chunk-granular cost model,
-    # pairs with the kernels' partial-cluster chunk skip) | "median" |
-    # "morton"
-    bvh_builder: str = "sah"
+    # Leaf clustering strategy: "sah" (binned surface-area heuristic at
+    # cluster quantization) | "sah_free" (cluster-granular unquantized
+    # splits, partially-full clusters) | "sah_chunk" (chunk-granular cost
+    # model, pairs with the kernels' partial-cluster chunk skip) |
+    # "median" | "morton".  sah_free measured 190.7 vs sah's 200.5
+    # ms/sample under the cluster1 key (dragon 1024^2, batch13) — its
+    # pre-cluster1 edge at c512 moved to c384 once the broad phase
+    # started charging per-cluster entry distance.
+    bvh_builder: str = "sah_free"
     # sah_chunk per-visit machinery cost in 128-wide chunk-test units
     # (higher = fewer, fuller clusters).  NOTE: sah_chunk measured a clear
     # NEGATIVE on dragon 1024^2 (361 vs 277 ms/sample at ~1040 clusters,
@@ -318,7 +321,10 @@ class RenderConfig:
     # broad phase, then dir6 cone, then Morton — blocks share their first
     # traversal visit by construction; falls back to dir_major when the
     # padded cluster count exceeds the key's 12 id bits or the tracer has
-    # no packed cluster planes).  cluster1 measured 196.8 vs dir6's 260.6
+    # no packed cluster planes) | "cluster1_dir9" (same, with 512 secondary
+    # direction cones instead of 64) | "cluster2" (second-nearest cluster id
+    # below the first: rays sharing their first TWO visits pack together).
+    # cluster1 measured 196.8 vs dir6's 260.6
     # ms/sample on dragon 1024^2 (sweep_r3 batch12) — the broad phase +
     # miss fold cut bounce visits 11.2 -> 9.0 mean and lift the bounce
     # zero-visit fraction 0.43 -> 0.64.
