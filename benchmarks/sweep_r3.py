@@ -155,6 +155,20 @@ def main() -> int:
                              primary_ray_block=1024)),
         # second-nearest cluster id below the first in the bounce key
         ("cluster2", dict(sort_key="cluster2")),
+        # camera origin baked into the primary pass's scene planes
+        ("baked", dict(bake_primary=True)),
+        # cheap broad phases: hit-cluster shadow key / hit-cluster bounce
+        # key with super-level fold
+        ("shadowhit", dict(shadow_hit_key=True)),
+        ("cluster1_hit", dict(sort_key="cluster1_hit")),
+        ("cheapkeys", dict(sort_key="cluster1_hit", shadow_hit_key=True)),
+        # everything that might win, composed
+        ("combo_r3b", dict(bake_primary=True, sort_key="cluster1_hit",
+                           shadow_hit_key=True)),
+        # with the free shadow key, re-sorting PRIMARY shadows may now
+        # pay: the g_occ fold only compacts into dead tiles under a sort
+        ("shadowhit_sp", dict(shadow_hit_key=True,
+                              shadow_sort_primary=True)),
         ("skip_on", dict(chunk_skip=True)),
         ("sahfree_c512_skip", dict(bvh_builder="sah_free", cluster_size=512,
                                    chunk_skip=True)),

@@ -133,18 +133,35 @@ def super_layout(spec: BVHSpec):
     return s, -(-spec.num_clusters // s)
 
 
-def _pack_rays(o, d, mask, t_max, block):
+def _pack_rays(o, d, mask, t_max, block, include_o=True):
     """Ray components as separate (NB, R) arrays — pure reshapes.
 
     A single stacked (NB, 8, R) layout would need an (8, NB, R) ->
     (NB, 8, R) transpose that XLA executes at ~2 GB/s (measured 17 ms per
     1M rays, paid on every one of the 6 trace calls per sample); component
     arrays cost only contiguous reshapes + column slices that fuse into
-    their producers.  ``t_max`` is None for closest-hit queries."""
-    n = o.shape[0]
+    their producers.  ``t_max`` is None for closest-hit queries.
+
+    ``o``/``d`` may each be a tuple of three (N,) component arrays
+    instead of an (N, 3) array — callers that already hold columns (the
+    compaction sort emits per-component operands) then pay NO minor-dim
+    slice of a lane-padded (N, 3) layout at all, only free contiguous
+    reshapes.
+
+    ``include_o=False`` is the baked-origin layout [dx, dy, dz, maskf]:
+    shared-origin queries fold the origin into the scene planes
+    (:func:`bake_origin`), so the kernel never reads it — 4 ray
+    components DMA'd per tile instead of 7."""
+    dx, dy, dz = (d if isinstance(d, (tuple, list))
+                  else (d[:, 0], d[:, 1], d[:, 2]))
+    n = dx.shape[0]
     nb = n // block
-    comps = [o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
-             mask.astype(jnp.float32)]
+    if include_o:
+        ox, oy, oz = (o if isinstance(o, (tuple, list))
+                      else (o[:, 0], o[:, 1], o[:, 2]))
+        comps = [ox, oy, oz, dx, dy, dz, mask.astype(jnp.float32)]
+    else:
+        comps = [dx, dy, dz, mask.astype(jnp.float32)]
     if t_max is not None:
         comps.append(t_max.astype(jnp.float32))
     return [c.reshape(nb, block) for c in comps], nb
@@ -158,10 +175,29 @@ def _safe_inv_row(v, eps=1e-12):
 def _slab_cols(box_cols, o_rows, inv_rows, t_max):
     """Slab test: boxes in sublanes (columns (B, 1)) vs rays in lanes (rows
     (1, R)).  Returns (t_entry, hit) of shape (B, R).  Rejects inverted
-    (empty sentinel) boxes."""
+    (empty sentinel) boxes.
+
+    ``o_rows=None`` is the BAKED-ORIGIN form (shared-origin rays against
+    boxes pre-shifted by -origin, see :func:`bake_origin`): the six
+    per-box subtractions drop out."""
     lox, loy, loz, hix, hiy, hiz = box_cols
-    ox, oy, oz = o_rows
     ix, iy, iz = inv_rows
+    if o_rows is None:
+        t0x = lox * ix
+        t1x = hix * ix
+        t0y = loy * iy
+        t1y = hiy * iy
+        t0z = loz * iz
+        t1z = hiz * iz
+        tn = jnp.maximum(
+            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+            jnp.minimum(t0z, t1z))
+        tf = jnp.minimum(
+            jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+            jnp.maximum(t0z, t1z))
+        hit = (tn <= tf) & (tf >= 0.0) & (tn <= t_max) & (hix >= lox)
+        return tn, hit
+    ox, oy, oz = o_rows
     t0x = (lox - ox) * ix
     t1x = (hix - ox) * ix
     t0y = (loy - oy) * iy
@@ -253,25 +289,38 @@ def _mt_block(ocol, dcol, tri, t_max_col):
     below the 1e-3/1e-4 scene epsilons the any-hit t_max compare works
     against.  No |den| guard is needed: den == 0 yields t = inf/nan whose
     range comparisons are false, so parallel rays and degenerate padding
-    triangles miss regardless."""
+    triangles miss regardless.
+
+    ``ocol=None`` is the BAKED-ORIGIN form: all rays share one origin that
+    was folded into the plane rows host-side (:func:`bake_origin` — d_const
+    becomes d - n.o, uw becomes uw + U.o, vw becomes vw + V.o), removing
+    the per-pair n.o / U.o / V.o work (~12 of ~45 vector ops) — the camera
+    origin all primary rays share is the production use."""
     nx, ny, nz = tri[0][None, :], tri[1][None, :], tri[2][None, :]
     d_const = tri[3][None, :]
     ux, uy, uz, uw = (tri[4][None, :], tri[5][None, :], tri[6][None, :],
                       tri[7][None, :])
     vx, vy, vz, vw = (tri[8][None, :], tri[9][None, :], tri[10][None, :],
                       tri[11][None, :])
-    ox, oy, oz = ocol
     dx, dy, dz = dcol
 
     den = nx * dx + ny * dy + nz * dz
     rcp = pl.reciprocal(den, approx=True)
     rcp = rcp * (2.0 - den * rcp)
-    t = (d_const - (nx * ox + ny * oy + nz * oz)) * rcp
-    px = ox + t * dx
-    py = oy + t * dy
-    pz = oz + t * dz
-    u = ux * px + uy * py + uz * pz + uw
-    v = vx * px + vy * py + vz * pz + vw
+    if ocol is None:
+        t = d_const * rcp
+        # u = U.(t d) + (uw + U.o): the t-scaled direction dots replace
+        # the hit-point form
+        u = t * (ux * dx + uy * dy + uz * dz) + uw
+        v = t * (vx * dx + vy * dy + vz * dz) + vw
+    else:
+        ox, oy, oz = ocol
+        t = (d_const - (nx * ox + ny * oy + nz * oz)) * rcp
+        px = ox + t * dx
+        py = oy + t * dy
+        pz = oz + t * dz
+        u = ux * px + uy * py + uz * pz + uw
+        v = vx * px + vy * py + vz * pz + vw
     hit = (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t > 1e-6)
     if t_max_col is not None:  # closest-hit queries skip the upper bound:
         hit = hit & (t <= t_max_col)  # the packed-key min subsumes it
@@ -306,6 +355,22 @@ def _ray_views(ray_refs, t):
         maxt_row = maxt_col = None
     return (o_rows, d_rows, inv_rows, ocol, dcol, mask_row, mask_col,
             maxt_row, maxt_col)
+
+
+def _ray_views_baked(ray_refs, t):
+    """Per-tile views of the BAKED-ORIGIN component refs
+    [dx, dy, dz, maskf] (see :func:`_pack_rays` ``include_o=False``) —
+    no origin rows/columns exist; the packed transpose shrinks to the
+    direction + mask columns."""
+    rows = [ray_refs[i][t, :] for i in range(4)]
+    d_rows = tuple(r[None, :] for r in rows[0:3])
+    inv_rows = tuple(_safe_inv_row(dr) for dr in d_rows)
+    stacked = jnp.stack(rows + [rows[-1]] * 4, axis=0)  # (8, R)
+    cols = stacked.T  # (R, 8): the single transpose
+    dcol = tuple(cols[:, i:i + 1] for i in range(3))
+    mask_row = rows[3][None, :] > 0.0
+    mask_col = cols[:, 3:4] > 0.0
+    return d_rows, inv_rows, dcol, mask_row, mask_col
 
 
 def _box_cols(ref):
@@ -503,15 +568,14 @@ def global_seed_keys(o, d, mask, tri, spec: BVHSpec):
     the 2^-14 key chop).  Returns (N,) int32 (INIT key where missed)."""
     gb, ng = spec.global_base, spec.num_global
     rows = tri[:, gb:gb + ng]  # (12, ng)
-    n3 = rows[0:3]
-    den = d @ n3  # (N, ng)
-    num = rows[3][None, :] - o @ n3
+    den = _dot3(d, rows, 0)  # (N, ng)
+    num = rows[3][None, :] - _dot3(o, rows, 0)
     safe = jnp.where(jnp.abs(den) < 1e-20,
                      jnp.where(den < 0, -1e-20, 1e-20), den)
     t = num / safe
     # u/v via dot forms (no (N, ng, 3) intermediate): u = o.U + t d.U + uw
-    u = o @ rows[4:7] + t * (d @ rows[4:7]) + rows[7][None, :]
-    v = o @ rows[8:11] + t * (d @ rows[8:11]) + rows[11][None, :]
+    u = _dot3(o, rows, 4) + t * _dot3(d, rows, 4) + rows[7][None, :]
+    v = _dot3(o, rows, 8) + t * _dot3(d, rows, 8) + rows[11][None, :]
     hit = ((u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t > 1e-6)
            & mask[:, None])
     ti = jax.lax.bitcast_convert_type(t, jnp.int32)
@@ -520,8 +584,37 @@ def global_seed_keys(o, d, mask, tri, spec: BVHSpec):
     return jnp.min(key, axis=1)
 
 
+def bake_origin(sup, clu, tri, origin):
+    """Pre-shift packed scene planes for SHARED-ORIGIN rays (the camera
+    origin every primary ray leaves from): boxes translate by -origin and
+    the per-triangle plane constants absorb the origin dots —
+
+        d_const' = d_const - n.origin      (t = d_const' / n.d)
+        uw'      = uw + U.origin           (u = t * U.d + uw')
+        vw'      = vw + V.origin           (v = t * V.d + vw')
+
+    so the kernels drop every per-(ray, pair) origin term AND the origin
+    ray components themselves (``trace_closest(baked_origin=True)``).
+    The n.origin product order matches the kernel's n.o evaluation, so
+    baked t is bit-identical to the unbaked kernel's; u/v re-associate
+    (hit-point form -> direction form) within ~1 ulp.  Three elementwise
+    passes over the plane tables — traced inside the render jit, its cost
+    is one-off per compiled program, not per sample (XLA hoists
+    ray-independent graphs; and the camera is static per render)."""
+    origin = jnp.asarray(origin, jnp.float32)
+    ox, oy, oz = origin[0], origin[1], origin[2]
+    shift = jnp.concatenate([origin, origin])
+    sup_b = sup - shift[None, :]
+    clu_b = clu - shift[None, None, :]
+    n_o = tri[0] * ox + tri[1] * oy + tri[2] * oz
+    u_o = tri[4] * ox + tri[5] * oy + tri[6] * oz
+    v_o = tri[8] * ox + tri[9] * oy + tri[10] * oz
+    tri_b = tri.at[3].add(-n_o).at[7].add(u_o).at[11].add(v_o)
+    return sup_b, clu_b, tri_b
+
+
 def nearest_cluster(o, d, mask, clu, spec: BVHSpec, max_t=None,
-                    return_key: bool = False):
+                    return_key: bool = False, return_second: bool = False):
     """Per-ray id of the NEAREST slab-hit leaf cluster (host-side broad
     phase for the ``cluster1`` bounce sort key).
 
@@ -566,11 +659,31 @@ def nearest_cluster(o, d, mask, clu, spec: BVHSpec, max_t=None,
     key = jnp.where(hit, key, sent)
     best = jnp.min(key, axis=1)
     cid = jnp.where(best == sent, jnp.int32(ns * s), best & idm)
+    if return_second:
+        # second-nearest cluster (the ``cluster2`` sort key): one extra
+        # (N, NC) compare + min over the keys already formed.  Unique id
+        # low bits make keys distinct per cluster, so != best masks
+        # exactly the winner.
+        key2 = jnp.min(jnp.where(key == best[:, None], sent, key), axis=1)
+        cid2 = jnp.where(key2 == sent, jnp.int32(ns * s), key2 & idm)
+        if return_key:
+            return cid, best, cid2
+        return cid, cid2
     if return_key:
         # the packed (chopped entry-t | id) winner: callers compare its
         # t bits against the global-seed hit to prove cluster walks moot
         return cid, best
     return cid
+
+
+def _dot3(v, rows, r0):
+    """(N, 3) x three (T,) plane-row components -> (N, T), as explicit
+    VPU broadcast mul/adds.  The ``v @ rows[r0:r0+3]`` matmul form lowers
+    to an MXU contraction with K = 3 — fill-dominated and measured ~10x
+    slower at 1M rays than the broadcast chain XLA fuses for free."""
+    return (v[:, 0:1] * rows[r0][None, :]
+            + v[:, 1:2] * rows[r0 + 1][None, :]
+            + v[:, 2:3] * rows[r0 + 2][None, :])
 
 
 def global_any_hit(o, d, max_t, mask, tri, spec: BVHSpec):
@@ -580,14 +693,13 @@ def global_any_hit(o, d, max_t, mask, tri, spec: BVHSpec):
     skips at ~zero cost.  Returns (N,) bool."""
     gb, ng = spec.global_base, spec.num_global
     rows = tri[:, gb:gb + ng]
-    n3 = rows[0:3]
-    den = d @ n3
-    num = rows[3][None, :] - o @ n3
+    den = _dot3(d, rows, 0)
+    num = rows[3][None, :] - _dot3(o, rows, 0)
     safe = jnp.where(jnp.abs(den) < 1e-20,
                      jnp.where(den < 0, -1e-20, 1e-20), den)
     t = num / safe
-    u = o @ rows[4:7] + t * (d @ rows[4:7]) + rows[7][None, :]
-    v = o @ rows[8:11] + t * (d @ rows[8:11]) + rows[11][None, :]
+    u = _dot3(o, rows, 4) + t * _dot3(d, rows, 4) + rows[7][None, :]
+    v = _dot3(o, rows, 8) + t * _dot3(d, rows, 8) + rows[11][None, :]
     hit = ((u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t > 1e-6)
            & (t <= max_t[:, None]) & mask[:, None])
     return jnp.any(hit, axis=1)
@@ -597,12 +709,16 @@ def _closest_kernel(*refs,
                     s_per: int, c_size: int, r: int, tb: int,
                     g_base: int = 0, g_chunks: int = 0, n_global: int = 0,
                     g_planes: tuple = (), use_counts: bool = False,
-                    host_seed: bool = False,
+                    host_seed: bool = False, baked: bool = False,
                     count_visits: bool = False):
-  ray_refs = refs[:7]  # ox oy oz dx dy dz maskf
+  # baked=True: shared-origin rays against bake_origin()-shifted planes —
+  # ray comps are [dx dy dz maskf] and every o-dependent term is gone
+  # (slab subtractions, n.o/U.o/V.o in the dense test).
+  nray = 4 if baked else 7
+  ray_refs = refs[:nray]  # (ox oy oz) dx dy dz maskf
   (sup_ref, clu_ref, tri_ref, gtri_ref, cnt_ref, seed_ref, t_out_ref,
-   tri_out_ref) = refs[7:15]
-  rest = refs[15:]
+   tri_out_ref) = refs[nray:nray + 8]
+  rest = refs[nray + 8:]
   # Optional telemetry output: clusters visited per ray tile (the traversal
   # cost driver — VERDICT.md round 1 asks for p50/p90 in the bench).
   if count_visits:
@@ -622,7 +738,7 @@ def _closest_kernel(*refs,
     # loop (VERDICT round 2 #1a).  One lane-reduce of the maskf row the
     # tile already holds in VMEM decides; no extra inputs, and scattered
     # dead tiles are caught too.
-    any_live = jnp.max(ray_refs[6][t, :][None, :]) > 0.0
+    any_live = jnp.max(ray_refs[nray - 1][t, :][None, :]) > 0.0
 
     @pl.when(jnp.logical_not(any_live))
     def _():
@@ -643,7 +759,12 @@ def _closest_kernel(*refs,
         if count_visits:
             vis_ref[t, 0, :] = jnp.zeros((r,), jnp.float32)
         return
-    if "views" in ABLATE:  # skip the packed transpose + the 3 inv divides
+    if baked:
+        (d_rows, inv_rows, dcol, mask_row, mask_col) = _ray_views_baked(
+            ray_refs, t)
+        o_rows = None
+        ocol = None
+    elif "views" in ABLATE:  # skip the packed transpose + the 3 inv divides
         rows = [ray_refs[i][t, :] for i in range(7)]
         o_rows = tuple(x[None, :] for x in rows[0:3])
         d_rows = tuple(x[None, :] for x in rows[3:6])
@@ -1201,7 +1322,7 @@ def trace_closest(o, d, mask, sup, clu, tri, spec: BVHSpec,
                   block: int = 128, tiles_per_step: int = 8,
                   stream=None, count_visits: bool = False,
                   exact_uv: bool = True, flat=None, counts=None,
-                  seed_key=None):
+                  seed_key=None, baked_origin: bool = False):
     """Closest-hit query via the hierarchical Pallas tracer.
 
     ``sup``/``clu``/``tri`` are the prepacked planes from
@@ -1222,12 +1343,24 @@ def trace_closest(o, d, mask, sup, clu, tri, spec: BVHSpec,
     rows and recomputes exact f32 (t, u, v).  The renderer hot path passes
     ``exact_uv=False`` and folds the same recompute into the shade-row
     gather it already pays (``Hit.u``/``Hit.v`` are then zeros and ``Hit.t``
-    is a <= 512-ulp underestimate)."""
+    is a <= 512-ulp underestimate).
+
+    ``o``/``d`` may be component tuples (see :func:`_pack_rays`); the
+    ``exact_uv`` epilogue handles both forms.
+
+    ``baked_origin=True``: ``sup``/``clu``/``tri`` are the
+    :func:`bake_origin`-shifted planes of rays sharing one origin (the
+    primary pass — all rays leave the camera).  The kernel then never
+    reads ``o`` (4 ray comps instead of 7) and skips every per-pair
+    origin term; ``o`` is still consumed by the ``exact_uv`` epilogue
+    (as the zero origin of the shifted frame).  Hierarchical kernel
+    only."""
     _check_cluster_alignment(spec)
-    n = o.shape[0]
+    n = (d[0] if isinstance(d, (tuple, list)) else d).shape[0]
     assert n % block == 0, f"ray count {n} not a multiple of block {block}"
     s_per, ns = super_layout(spec)
-    ray_comps, nb = _pack_rays(o, d, mask, None, block)
+    ray_comps, nb = _pack_rays(o, d, mask, None, block,
+                               include_o=not baked_origin)
     tb = _tiles_per_step(nb, tiles_per_step)
     n_steps = nb // tb
     tri_planes = tri  # pre-padding: the epilogue gathers from these rows
@@ -1242,7 +1375,10 @@ def trace_closest(o, d, mask, sup, clu, tri, spec: BVHSpec,
     # when the scene has none.
     ng = spec.num_global
     host_seed = seed_key is not None and ng > 0
-    scalar_seed = (not host_seed) and 0 < ng <= GLOBAL_SCALAR_MAX
+    # the scalar seed unroll reads origin rows the baked layout lacks;
+    # baked callers use the host seed or the (origin-free) chunk test
+    scalar_seed = ((not host_seed) and (not baked_origin)
+                   and 0 < ng <= GLOBAL_SCALAR_MAX)
     gkw = dict(g_base=spec.global_base,
                g_chunks=(0 if scalar_seed or host_seed
                          else spec.padded_global // CHUNK),
@@ -1263,6 +1399,10 @@ def trace_closest(o, d, mask, sup, clu, tri, spec: BVHSpec,
            else jnp.zeros((1,), jnp.int32))
     gkw["use_counts"] = use_counts
     if _use_flat(spec, flat):
+        if baked_origin:
+            raise ValueError("baked_origin requires the hierarchical "
+                             "kernel (pass flat=False or gate on "
+                             "_use_flat)")
         sup = _flat_cluster_planes(clu)  # flat kernels slab ALL clusters
         kernel = functools.partial(_closest_flat_kernel,
                                    c_size=spec.cluster_size, r=block, tb=tb,
@@ -1270,7 +1410,8 @@ def trace_closest(o, d, mask, sup, clu, tri, spec: BVHSpec,
     else:
         kernel = functools.partial(_closest_kernel, s_per=s_per,
                                    c_size=spec.cluster_size, r=block, tb=tb,
-                                   count_visits=count_visits, **gkw)
+                                   count_visits=count_visits,
+                                   baked=baked_origin, **gkw)
     out_shapes = (
         jax.ShapeDtypeStruct((nb, 1, block), jnp.float32),
         jax.ShapeDtypeStruct((nb, 1, block), jnp.int32),
@@ -1291,6 +1432,13 @@ def trace_closest(o, d, mask, sup, clu, tri, spec: BVHSpec,
     t_chop = out[0].reshape(n)
     tri_id = out[1].reshape(n)
     if exact_uv:
+        if isinstance(d, (tuple, list)):
+            d = jnp.stack(d, axis=1)
+        if baked_origin:
+            # rows are origin-shifted: in that frame every ray starts at 0
+            o = jnp.zeros_like(d)
+        elif isinstance(o, (tuple, list)):
+            o = jnp.stack(o, axis=1)
         found = tri_id >= 0
         rows = jnp.take(tri_planes, jnp.maximum(tri_id, 0), axis=1).T
         t, u, v = recompute_tuv(o, d, rows)
@@ -1318,9 +1466,10 @@ def trace_any(o, d, max_t, mask, sup, clu, tri, spec: BVHSpec,
     clusters visited per ray tile (occlusion passes must EXHAUST every
     candidate cluster for unoccluded rays, so their visit counts can
     exceed the closest pass's; the bench telemetry tracks both).
-    ``flat`` as in :func:`trace_closest`."""
+    ``flat`` as in :func:`trace_closest`.  ``o``/``d`` may be component
+    tuples (see :func:`_pack_rays`)."""
     _check_cluster_alignment(spec)
-    n = o.shape[0]
+    n = (o[0] if isinstance(o, (tuple, list)) else o).shape[0]
     assert n % block == 0, f"ray count {n} not a multiple of block {block}"
     s_per, ns = super_layout(spec)
     ray_comps, nb = _pack_rays(o, d, mask, max_t, block)

@@ -131,7 +131,7 @@ def _make_tracers(data: SceneData, spec: SceneSpec, cfg: RenderConfig):
         any_p = functools.partial(
             trace_ops.trace_any_bruteforce, geometry=data.geometry)
 
-        def closest(o, d, m, block=None, seed=None):
+        def closest(o, d, m, block=None, seed=None, baked=False):
             return closest_p(o, d, m)
 
         def any_hit(o, d, mt, m, block=None):
@@ -146,7 +146,7 @@ def _make_tracers(data: SceneData, spec: SceneSpec, cfg: RenderConfig):
             node_lo=data.node_lo, node_hi=data.node_hi, spec=spec.bvh,
             block=cfg.ray_block)
 
-        def closest(o, d, m, block=None, seed=None):
+        def closest(o, d, m, block=None, seed=None, baked=False):
             return closest_p(o, d, m)
 
         def any_hit(o, d, mt, m, block=None):
@@ -172,10 +172,25 @@ def _make_tracers(data: SceneData, spec: SceneSpec, cfg: RenderConfig):
             # global set (render_rays masks occluded rays instead)
             seed_global=not host_seed)
 
-        def closest(o, d, m, block=None, seed=None):
+        use_baked = (cfg.bake_primary
+                     and not trace_pallas._use_flat(spec.bvh, None))
+        if use_baked:
+            # shared-camera-origin planes for the primary pass (see
+            # RenderConfig.bake_primary); traced inside the render jit —
+            # three ray-independent elementwise passes XLA hoists
+            baked_tabs = trace_pallas.bake_origin(
+                data.sup_planes, data.clu_planes, data.tri_planes,
+                data.camera.position)
+
+        def closest(o, d, m, block=None, seed=None, baked=False):
             if seed is None and host_seed:
                 seed = trace_pallas.global_seed_keys(
                     o, d, m, data.tri_planes, spec.bvh)
+            if baked and use_baked:
+                return closest_p(o, d, m, block=block or cfg.ray_block,
+                                 seed_key=seed, baked_origin=True,
+                                 sup=baked_tabs[0], clu=baked_tabs[1],
+                                 tri=baked_tabs[2])
             return closest_p(o, d, m, block=block or cfg.ray_block,
                              seed_key=seed)
 
@@ -319,7 +334,7 @@ def render_rays(
                 nc_tot = (data.clu_planes.shape[0] * data.clu_planes.shape[1]
                           if (tracer_kind == "pallas"
                               and data.clu_planes is not None) else 1 << 30)
-                if cfg.sort_key == "cluster1" and nc_tot <= 4095:
+                if cfg.sort_key.startswith("cluster") and nc_tot <= 4095:
                     # Group rays by their NEAREST slab-hit cluster (one
                     # fused host-side broad phase), then direction cone,
                     # then origin Morton: a block's rays share their first
@@ -329,9 +344,45 @@ def render_rays(
                     # id-major order keeps inter-block locality too.
                     from .ops import trace_pallas as _tp
 
-                    cid, nckey = _tp.nearest_cluster(
-                        o, d, alive, data.clu_planes, spec.bvh,
-                        return_key=True)
+                    want2 = cfg.sort_key == "cluster2"
+                    if cfg.sort_key == "cluster1_hit":
+                        # Cheap proxy broad phase: a bounce ray starts ON
+                        # its previous hit, whose cluster box contains the
+                        # origin — the exact nearest cluster IS that
+                        # cluster for cluster-surface origins (slab entry
+                        # 0).  Global-set origins (the floor) take the
+                        # nearest SUPER's first cluster id (same Morton id
+                        # space, coarser).  The (N, NC) slab becomes an
+                        # (N, NS) one, ~15x cheaper; the miss fold uses
+                        # the super entry t (a lower bound on every
+                        # cluster entry — conservative, still exact).
+                        s_per_h, _ = _tp.super_layout(spec.bvh)
+                        sid, nckey = _tp.nearest_cluster(
+                            o, d, alive, data.sup_planes[:, None, :],
+                            spec.bvh, return_key=True)
+                        nsp_h = data.sup_planes.shape[0]
+                        own = jnp.minimum(
+                            jnp.maximum(prev_tri, 0)
+                            // spec.bvh.cluster_size,
+                            jnp.int32(nc_tot - 1))
+                        is_clu = (prev_tri >= 0) & (
+                            prev_tri < spec.bvh.global_base)
+                        cid = jnp.where(is_clu, own,
+                                        jnp.minimum(sid * s_per_h,
+                                                    jnp.int32(nc_tot - 1)))
+                        cid = jnp.where(sid >= nsp_h, jnp.int32(nc_tot),
+                                        cid)
+                    elif want2:
+                        # second-nearest cluster id rides below the first
+                        # (strictly finer grouping: rays sharing their
+                        # first TWO visits pack together)
+                        cid, nckey, cid2 = _tp.nearest_cluster(
+                            o, d, alive, data.clu_planes, spec.bvh,
+                            return_key=True, return_second=True)
+                    else:
+                        cid, nckey = _tp.nearest_cluster(
+                            o, d, alive, data.clu_planes, spec.bvh,
+                            return_key=True)
                     if cfg.cluster_miss_fold and spec.bvh.num_global > 0:
                         # Rays whose NEAREST cluster is entered beyond
                         # their global-set hit cannot find a closer hit in
@@ -351,12 +402,24 @@ def render_rays(
                             tn_f >= g_plus)
                         cid = jnp.where(beats, jnp.int32(nc_tot), cid)
                     cbits = max(1, nc_tot.bit_length())
-                    q = jnp.clip(((d + 1.0) * 2).astype(jnp.int32), 0, 3)
-                    dirq = (q[:, 0] << 4) | (q[:, 1] << 2) | q[:, 2]
-                    mbits = max(0, 30 - cbits - 6)
-                    key = ((cid << (30 - cbits))
-                           | (dirq << mbits)
-                           | (m >> (27 - mbits)))
+                    # secondary direction cone: 2 bits/axis (64 cones), or
+                    # 3 (512) with sort_key="cluster1_dir9" — finer cones
+                    # trade origin-Morton bits for direction coherence
+                    # within a cluster group
+                    db = 3 if cfg.sort_key == "cluster1_dir9" else 2
+                    lvl = 1 << (db - 1)
+                    q = jnp.clip(((d + 1.0) * lvl).astype(jnp.int32),
+                                 0, 2 * lvl - 1)
+                    dirq = ((q[:, 0] << (2 * db)) | (q[:, 1] << db)
+                            | q[:, 2])
+                    c2bits = (min(cbits, max(0, 30 - cbits - 3 * db))
+                              if want2 else 0)
+                    mbits = max(0, 30 - cbits - c2bits - 3 * db)
+                    key = (cid << (30 - cbits)) | (dirq << mbits)
+                    if c2bits:
+                        key = key | ((cid2 & ((1 << c2bits) - 1))
+                                     << (mbits + 3 * db))
+                    key = key | (m >> (27 - mbits))
                     cluster1_bits = cbits  # miss-fold decodes cid post-sort
                 elif cfg.sort_key == "hybrid":
                     # coarse origin cell (top 2 Morton bits/axis), then
@@ -464,6 +527,9 @@ def render_rays(
         hit = closest_fn(
             o, d, alive if known_miss is None else alive & ~known_miss,
             block=pblock if bounce == 0 else None,
+            # bounce 0: every ray shares the camera origin — the pallas
+            # tracer uses the bake_origin()-shifted planes when enabled
+            baked=(bounce == 0),
             seed=(jnp.where(known_miss, jnp.int32(_tp._INIT_KEY), gkey)
                   if gkey is not None and cfg.host_seed else None))
         if cfg.telemetry and tracer_kind == "pallas":
@@ -631,7 +697,7 @@ def render_rays(
             nc_tot_s = (data.clu_planes.shape[0] * data.clu_planes.shape[1]
                         if (tracer_kind == "pallas"
                             and data.clu_planes is not None) else 1 << 30)
-            if cfg.sort_key == "cluster1" and nc_tot_s <= 4095:
+            if cfg.sort_key.startswith("cluster") and nc_tot_s <= 4095:
                 # Cluster-first shadow key: group by the nearest cluster
                 # the SEGMENT can hit (likeliest occluder), then light,
                 # then origin Morton.  Segments with NO cluster overlap
@@ -640,11 +706,31 @@ def render_rays(
                 # into kernel_shadow above).
                 from .ops import trace_pallas as _tp
 
-                scid = _tp.nearest_cluster(shadow_o, ls.direction,
-                                           kernel_shadow, data.clu_planes,
-                                           spec.bvh, max_t=sdist)
-                if cfg.cluster_miss_fold:
-                    kernel_shadow = kernel_shadow & (scid < nc_tot_s)
+                if cfg.shadow_hit_key:
+                    # FREE grouping proxy: the shadow ray starts ON this
+                    # bounce's hit triangle, whose cluster box contains
+                    # the origin — the segment's nearest slab-hit cluster
+                    # is almost always that cluster.  The exact (N, NC)
+                    # broad phase is replaced by a divide of the hit id;
+                    # the segment fold falls back to the SUPER level
+                    # (conservative: no super overlap => no cluster
+                    # overlap), an (N, NS) slab ~15x cheaper.
+                    scid = jnp.minimum(tri // spec.bvh.cluster_size,
+                                       nc_tot_s - 1)
+                    if cfg.cluster_miss_fold:
+                        sid = _tp.nearest_cluster(
+                            shadow_o, ls.direction, kernel_shadow,
+                            data.sup_planes[:, None, :], spec.bvh,
+                            max_t=sdist)
+                        kernel_shadow = kernel_shadow & (
+                            sid < data.sup_planes.shape[0])
+                else:
+                    scid = _tp.nearest_cluster(shadow_o, ls.direction,
+                                               kernel_shadow,
+                                               data.clu_planes,
+                                               spec.bvh, max_t=sdist)
+                    if cfg.cluster_miss_fold:
+                        kernel_shadow = kernel_shadow & (scid < nc_tot_s)
                 cbits_s = max(1, nc_tot_s.bit_length())
                 mbits_s = max(0, 30 - cbits_s - bits_l)
                 skey = ((scid << (30 - cbits_s))

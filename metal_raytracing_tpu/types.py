@@ -264,6 +264,18 @@ class RenderConfig:
     # the kernel mask BEFORE the shadow re-sort, compacting into dead
     # tiles the kernel skips.  pallas tracer only.
     host_seed: bool = True
+    # Bake the shared camera origin into the primary pass's scene planes
+    # (trace_pallas.bake_origin): the primary closest kernel then skips
+    # every per-(ray, pair) origin term (~12 of ~45 dense vector ops, 6
+    # slab subtractions) and DMAs 4 ray components instead of 7.  pallas
+    # hierarchical kernel only (flat scenes ignore it).
+    bake_primary: bool = False
+    # Shadow sort key from the bounce's HIT cluster (free divide) instead
+    # of the exact (N, NC) nearest-cluster broad phase; the segment fold
+    # falls back to a super-level slab (conservative).  The shadow ray
+    # starts ON the hit triangle, inside its cluster's box, so the exact
+    # nearest slab-hit cluster is almost always that cluster anyway.
+    shadow_hit_key: bool = False
     # SBVH-style spatial pre-split budget (extra references as a fraction
     # of the triangle count; 0 disables).  Splits huge triangles into
     # clipped references so cluster AABBs stay tight.  MEASURED NEGATIVE
@@ -323,7 +335,9 @@ class RenderConfig:
     # padded cluster count exceeds the key's 12 id bits or the tracer has
     # no packed cluster planes) | "cluster1_dir9" (same, with 512 secondary
     # direction cones instead of 64) | "cluster2" (second-nearest cluster id
-    # below the first: rays sharing their first TWO visits pack together).
+    # below the first: rays sharing their first TWO visits pack together) |
+    # "cluster1_hit" (previous-hit cluster id as the free grouping proxy +
+    # super-level broad phase/fold — ~15x cheaper key computation).
     # cluster1 measured 196.8 vs dir6's 260.6
     # ms/sample on dragon 1024^2 (sweep_r3 batch12) — the broad phase +
     # miss fold cut bounce visits 11.2 -> 9.0 mean and lift the bounce

@@ -106,10 +106,13 @@ def test_pallas_renderer_image(scene_data):
     assert rmse(ref, got) < 5e-5
 
 
-def test_pallas_cluster1_sort_key_is_pure_permutation():
-    """The cluster1 bounce key (nearest-cluster broad phase) reorders
-    traversal blocks only — same image as the default dir6 key on the
-    pallas tracer (tolerance for 512-ulp t-tie winner flips, as in
+@pytest.mark.parametrize("key", ["cluster1", "cluster1_dir9", "cluster2",
+                                 "cluster1_hit"])
+def test_pallas_cluster1_sort_key_is_pure_permutation(key):
+    """The cluster1 bounce keys (nearest-cluster broad phase; _dir9 = 512
+    secondary direction cones) reorder traversal blocks only — same image
+    as the default dir6 key on the pallas tracer (tolerance for 512-ulp
+    t-tie winner flips, as in
     tests/test_renderer.py::test_sort_keys_are_pure_permutations)."""
     from metal_raytracing_tpu.renderer import Renderer
     from metal_raytracing_tpu.scenes import plane_sphere_scene
@@ -121,10 +124,40 @@ def test_pallas_cluster1_sort_key_is_pure_permutation():
                            tracer="pallas", ray_block=128)
     cfg_c1 = RenderConfig(width=32, height=32, max_bounces=3,
                           tracer="pallas", ray_block=128,
-                          sort_key="cluster1")
+                          sort_key=key)
     ref = Renderer(scene, cfg_ref).render(1)
     got = Renderer(scene, cfg_c1).render(1)
     assert rmse(ref, got) < 1e-7
+
+
+def test_pallas_component_tuple_rays_match_stacked(scene_data):
+    """trace_closest/trace_any accept o/d as 3-tuples of (N,) component
+    arrays (what the compaction sort emits) — results must be identical
+    to the stacked (N, 3) form."""
+    import numpy as np
+
+    from metal_raytracing_tpu.ops import trace_pallas as TP
+
+    data, spec = scene_data
+    o, d = _rays(256, seed=11)
+    mask = jnp.ones((256,), bool)
+    ot = (o[:, 0], o[:, 1], o[:, 2])
+    dt = (d[:, 0], d[:, 1], d[:, 2])
+    for exact_uv in (False, True):
+        h_a = TP.trace_closest(o, d, mask, data.sup_planes, data.clu_planes,
+                               data.tri_planes, spec.bvh, exact_uv=exact_uv)
+        h_b = TP.trace_closest(ot, dt, mask, data.sup_planes,
+                               data.clu_planes, data.tri_planes, spec.bvh,
+                               exact_uv=exact_uv)
+        np.testing.assert_array_equal(np.asarray(h_a.t), np.asarray(h_b.t))
+        np.testing.assert_array_equal(np.asarray(h_a.tri),
+                                      np.asarray(h_b.tri))
+    maxt = jnp.full((256,), 3.0, jnp.float32)
+    occ_a = TP.trace_any(o, d, maxt, mask, data.sup_planes, data.clu_planes,
+                         data.tri_planes, spec.bvh)
+    occ_b = TP.trace_any(ot, dt, maxt, mask, data.sup_planes,
+                         data.clu_planes, data.tri_planes, spec.bvh)
+    np.testing.assert_array_equal(np.asarray(occ_a), np.asarray(occ_b))
 
 
 def test_pallas_cluster1_many_lights_no_leak():
@@ -157,6 +190,79 @@ def test_pallas_cluster1_many_lights_no_leak():
     ref = Renderer(scene_with_lights(), base).render(1)
     got = Renderer(scene_with_lights(), c1).render(1)
     assert rmse(ref, got) < 1e-7
+
+
+def test_pallas_baked_origin_matches_unbaked(scene_data):
+    """Shared-origin rays traced against bake_origin()-shifted planes
+    (the primary-pass specialization) must match the plain kernel: t is
+    bit-identical (the baked d_const keeps the kernel's n.o product
+    order) and u/v only re-associate (hit-point form -> direction form,
+    ~1 ulp).  Exercises the in-kernel chunk global seed with ocol=None
+    when the scene has a global set."""
+    data, spec = scene_data
+    _, d = _rays(256, seed=7)
+    origin = jnp.asarray([0.25, 1.4, 4.1], jnp.float32)
+    o = jnp.broadcast_to(origin[None], d.shape)
+    mask = jnp.ones((256,), bool)
+    ref = TP.trace_closest(o, d, mask, data.sup_planes, data.clu_planes,
+                           data.tri_planes, spec.bvh, flat=False)
+    sup_b, clu_b, tri_b = TP.bake_origin(data.sup_planes, data.clu_planes,
+                                         data.tri_planes, origin)
+    got = TP.trace_closest(o, d, mask, sup_b, clu_b, tri_b, spec.bvh,
+                           flat=False, baked_origin=True)
+    hits = np.asarray(ref.tri >= 0)
+    np.testing.assert_array_equal(np.asarray(got.tri >= 0), hits)
+    src = np.asarray(data.tri_src)
+    np.testing.assert_array_equal(src[np.asarray(got.tri)[hits]],
+                                  src[np.asarray(ref.tri)[hits]])
+    np.testing.assert_allclose(np.asarray(got.t)[hits],
+                               np.asarray(ref.t)[hits], rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(got.u)[hits],
+                               np.asarray(ref.u)[hits], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got.v)[hits],
+                               np.asarray(ref.v)[hits], atol=1e-5)
+
+
+def test_pallas_shadow_hit_key_is_pure_permutation():
+    """shadow_hit_key replaces the exact shadow broad phase with the hit
+    cluster + a conservative super-level fold — occlusion queries only
+    reorder/skip-when-proven-clear, so the image must match."""
+    import dataclasses
+
+    from metal_raytracing_tpu.renderer import Renderer
+    from metal_raytracing_tpu.scenes import plane_sphere_scene
+    from metal_raytracing_tpu.types import RenderConfig
+    from metal_raytracing_tpu.io.image import rmse
+
+    base = RenderConfig(width=32, height=32, max_bounces=3,
+                        tracer="pallas", ray_block=128,
+                        sort_key="cluster1")
+    hk = dataclasses.replace(base, shadow_hit_key=True)
+    ref = Renderer(plane_sphere_scene(32, 32), base).render(1)
+    got = Renderer(plane_sphere_scene(32, 32), hk).render(1)
+    assert rmse(ref, got) < 1e-7
+
+
+def test_renderer_bake_primary_parity(monkeypatch):
+    """bake_primary changes only the primary pass's arithmetic
+    association — the rendered image must match the unbaked render to
+    float-reassociation tolerance.  FLAT_MAX_CLUSTERS is pinned to 0 so
+    the small test scene takes the hierarchical kernel the bake
+    requires."""
+    import dataclasses
+
+    from metal_raytracing_tpu.renderer import Renderer
+    from metal_raytracing_tpu.scenes import plane_sphere_scene
+    from metal_raytracing_tpu.types import RenderConfig
+    from metal_raytracing_tpu.io.image import rmse
+
+    monkeypatch.setattr(TP, "FLAT_MAX_CLUSTERS", 0)
+    base = RenderConfig(width=32, height=32, max_bounces=2,
+                        tracer="pallas", ray_block=128)
+    b = dataclasses.replace(base, bake_primary=True)
+    ref = Renderer(plane_sphere_scene(32, 32), base).render(1)
+    got = Renderer(plane_sphere_scene(32, 32), b).render(1)
+    assert rmse(ref, got) < 1e-3
 
 
 def test_nearest_cluster_broad_phase(scene_data):

@@ -73,6 +73,31 @@ def test_any_matches_oracle_compiled(built, stream, flat):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
+@pytest.mark.parametrize("stream", [False, True])
+def test_baked_origin_matches_oracle_compiled(built, stream):
+    """The baked-origin primary specialization (4 ray comps, origin-free
+    slab/dense forms) on real Mosaic — layout/alignment classes of bug
+    that interpret mode cannot catch."""
+    data, spec = built
+    _, d = _rays(256, seed=19)
+    origin = jnp.asarray([0.2, 1.3, 4.0], jnp.float32)
+    o = jnp.broadcast_to(origin[None], d.shape)
+    mask = jnp.ones((256,), bool)
+    ref = T.trace_closest_bruteforce(o, d, mask, data.geometry)
+    sup_b, clu_b, tri_b = TP.bake_origin(data.sup_planes, data.clu_planes,
+                                         data.tri_planes, origin)
+    got = TP.trace_closest(o, d, mask, sup_b, clu_b, tri_b, spec.bvh,
+                           block=128, stream=stream, flat=False,
+                           baked_origin=True)
+    hits = np.asarray(ref.tri >= 0)
+    np.testing.assert_array_equal(np.asarray(got.tri >= 0), hits)
+    src = np.asarray(data.tri_src)
+    np.testing.assert_array_equal(src[np.asarray(got.tri)[hits]],
+                                  src[np.asarray(ref.tri)[hits]])
+    np.testing.assert_allclose(np.asarray(got.t)[hits],
+                               np.asarray(ref.t)[hits], rtol=1e-4)
+
+
 def test_count_visits_compiled(built):
     data, spec = built
     o, d = _rays(128, seed=17)
