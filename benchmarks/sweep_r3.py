@@ -169,6 +169,23 @@ def main() -> int:
         # pay: the g_occ fold only compacts into dead tiles under a sort
         ("shadowhit_sp", dict(shadow_hit_key=True,
                               shadow_sort_primary=True)),
+        # cluster2 (batch17: 184.4 vs 192.0, bounce visits mean 8.25 ->
+        # 5.65) composed with the other candidate wins
+        ("cluster2_shadowhit", dict(sort_key="cluster2",
+                                    shadow_hit_key=True)),
+        ("baked_cluster2", dict(bake_primary=True, sort_key="cluster2")),
+        ("combo_r3c", dict(bake_primary=True, sort_key="cluster2",
+                           shadow_hit_key=True, shadow_sort_primary=True)),
+        # under cluster2's much tighter grouping (visits mean 5.65),
+        # bigger bounce blocks may stop losing: the superlinear
+        # visits-per-block growth was the dir6/cluster1-era objection
+        ("cluster2_rb256", dict(sort_key="cluster2", ray_block=256)),
+        # low-bit ablations under cid1|cid2: direction cone vs Morton vs
+        # a third cluster id
+        ("cluster2_nodir", dict(sort_key="cluster2_nodir")),
+        ("cluster3", dict(sort_key="cluster3")),
+        # shadow-side second id under the cluster2 bounce key
+        ("cluster2_sk2", dict(sort_key="cluster2", shadow_key2=True)),
         ("skip_on", dict(chunk_skip=True)),
         ("sahfree_c512_skip", dict(bvh_builder="sah_free", cluster_size=512,
                                    chunk_skip=True)),

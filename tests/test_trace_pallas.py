@@ -107,7 +107,8 @@ def test_pallas_renderer_image(scene_data):
 
 
 @pytest.mark.parametrize("key", ["cluster1", "cluster1_dir9", "cluster2",
-                                 "cluster1_hit"])
+                                 "cluster1_hit", "cluster2_nodir",
+                                 "cluster3"])
 def test_pallas_cluster1_sort_key_is_pure_permutation(key):
     """The cluster1 bounce keys (nearest-cluster broad phase; _dir9 = 512
     secondary direction cones) reorder traversal blocks only — same image
@@ -223,10 +224,12 @@ def test_pallas_baked_origin_matches_unbaked(scene_data):
                                np.asarray(ref.v)[hits], atol=1e-5)
 
 
-def test_pallas_shadow_hit_key_is_pure_permutation():
-    """shadow_hit_key replaces the exact shadow broad phase with the hit
-    cluster + a conservative super-level fold — occlusion queries only
-    reorder/skip-when-proven-clear, so the image must match."""
+@pytest.mark.parametrize("knob", [dict(shadow_hit_key=True),
+                                  dict(shadow_key2=True)])
+def test_pallas_shadow_key_variants_are_pure_permutations(knob):
+    """shadow_hit_key (hit-cluster proxy + conservative super-level fold)
+    and shadow_key2 (second-nearest id below the first) only reorder /
+    skip-when-proven-clear occlusion queries — the image must match."""
     import dataclasses
 
     from metal_raytracing_tpu.renderer import Renderer
@@ -237,7 +240,7 @@ def test_pallas_shadow_hit_key_is_pure_permutation():
     base = RenderConfig(width=32, height=32, max_bounces=3,
                         tracer="pallas", ray_block=128,
                         sort_key="cluster1")
-    hk = dataclasses.replace(base, shadow_hit_key=True)
+    hk = dataclasses.replace(base, **knob)
     ref = Renderer(plane_sphere_scene(32, 32), base).render(1)
     got = Renderer(plane_sphere_scene(32, 32), hk).render(1)
     assert rmse(ref, got) < 1e-7
