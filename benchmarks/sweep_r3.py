@@ -186,6 +186,9 @@ def main() -> int:
         ("cluster3", dict(sort_key="cluster3")),
         # shadow-side second id under the cluster2 bounce key
         ("cluster2_sk2", dict(sort_key="cluster2", shadow_key2=True)),
+        # cluster-size re-probe under cluster2's changed visit economics
+        ("cluster2_c256", dict(sort_key="cluster2", cluster_size=256)),
+        ("cluster2_c512", dict(sort_key="cluster2", cluster_size=512)),
         ("skip_on", dict(chunk_skip=True)),
         ("sahfree_c512_skip", dict(bvh_builder="sah_free", cluster_size=512,
                                    chunk_skip=True)),

@@ -60,10 +60,13 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--texture-filter", default="nearest",
                    choices=("nearest", "bilinear"),
                    help="texture sampling filter (with --textures)")
-    r.add_argument("--bvh-builder", default="sah",
+    r.add_argument("--bvh-builder",
+                   default=RenderConfig.bvh_builder,
                    choices=["sah", "sah_free", "sah_chunk", "median",
                             "morton"],
-                   help="leaf clustering strategy (see RenderConfig)")
+                   help="leaf clustering strategy (see RenderConfig; "
+                        "default follows the adopted RenderConfig "
+                        "default)")
     r.add_argument("--no-compaction", action="store_true",
                    help="disable live-ray compaction between bounces")
     r.add_argument("--checkpoint", default=None,

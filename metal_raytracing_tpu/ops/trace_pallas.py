@@ -660,15 +660,21 @@ def nearest_cluster(o, d, mask, clu, spec: BVHSpec, max_t=None,
     best = jnp.min(key, axis=1)
     cid = jnp.where(best == sent, jnp.int32(ns * s), best & idm)
     if return_second:
-        # second-nearest cluster (the ``cluster2`` sort key): one extra
-        # (N, NC) compare + min over the keys already formed.  Unique id
-        # low bits make keys distinct per cluster, so != best masks
-        # exactly the winner.
-        key2 = jnp.min(jnp.where(key == best[:, None], sent, key), axis=1)
-        cid2 = jnp.where(key2 == sent, jnp.int32(ns * s), key2 & idm)
+        # second(/third/...)-nearest clusters (the ``cluster2``/
+        # ``cluster3`` sort keys): one extra (N, NC) compare + min over
+        # the keys already formed per rank.  Unique id low bits make keys
+        # distinct per cluster, so != current-winner masks exactly it.
+        n_extra = int(return_second)
+        extras = []
+        kk, cur = key, best
+        for _ in range(n_extra):
+            kk = jnp.where(kk == cur[:, None], sent, kk)
+            cur = jnp.min(kk, axis=1)
+            extras.append(jnp.where(cur == sent, jnp.int32(ns * s),
+                                    cur & idm))
         if return_key:
-            return cid, best, cid2
-        return cid, cid2
+            return (cid, best, *extras)
+        return (cid, *extras)
     if return_key:
         # the packed (chopped entry-t | id) winner: callers compare its
         # t bits against the global-seed hit to prove cluster walks moot

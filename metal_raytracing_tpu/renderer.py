@@ -344,7 +344,9 @@ def render_rays(
                     # id-major order keeps inter-block locality too.
                     from .ops import trace_pallas as _tp
 
-                    want2 = cfg.sort_key == "cluster2"
+                    want2 = cfg.sort_key in ("cluster2", "cluster2_nodir",
+                                             "cluster3")
+                    want3 = cfg.sort_key == "cluster3"
                     if cfg.sort_key == "cluster1_hit":
                         # Cheap proxy broad phase: a bounce ray starts ON
                         # its previous hit, whose cluster box contains the
@@ -373,12 +375,15 @@ def render_rays(
                         cid = jnp.where(sid >= nsp_h, jnp.int32(nc_tot),
                                         cid)
                     elif want2:
-                        # second-nearest cluster id rides below the first
-                        # (strictly finer grouping: rays sharing their
-                        # first TWO visits pack together)
-                        cid, nckey, cid2 = _tp.nearest_cluster(
+                        # second(/third)-nearest cluster ids ride below
+                        # the first (strictly finer grouping: rays sharing
+                        # their first visits pack together)
+                        res = _tp.nearest_cluster(
                             o, d, alive, data.clu_planes, spec.bvh,
-                            return_key=True, return_second=True)
+                            return_key=True,
+                            return_second=2 if want3 else 1)
+                        cid, nckey, cid2 = res[0], res[1], res[2]
+                        cid3 = res[3] if want3 else None
                     else:
                         cid, nckey = _tp.nearest_cluster(
                             o, d, alive, data.clu_planes, spec.bvh,
@@ -402,24 +407,39 @@ def render_rays(
                             tn_f >= g_plus)
                         cid = jnp.where(beats, jnp.int32(nc_tot), cid)
                     cbits = max(1, nc_tot.bit_length())
-                    # secondary direction cone: 2 bits/axis (64 cones), or
-                    # 3 (512) with sort_key="cluster1_dir9" — finer cones
-                    # trade origin-Morton bits for direction coherence
-                    # within a cluster group
-                    db = 3 if cfg.sort_key == "cluster1_dir9" else 2
-                    lvl = 1 << (db - 1)
-                    q = jnp.clip(((d + 1.0) * lvl).astype(jnp.int32),
-                                 0, 2 * lvl - 1)
-                    dirq = ((q[:, 0] << (2 * db)) | (q[:, 1] << db)
-                            | q[:, 2])
-                    c2bits = (min(cbits, max(0, 30 - cbits - 3 * db))
-                              if want2 else 0)
-                    mbits = max(0, 30 - cbits - c2bits - 3 * db)
-                    key = (cid << (30 - cbits)) | (dirq << mbits)
+                    # secondary direction cone: 2 bits/axis (64 cones),
+                    # 3 (512) with "cluster1_dir9", or none with
+                    # "cluster2_nodir" (all low bits go to origin Morton)
+                    db = (3 if cfg.sort_key == "cluster1_dir9"
+                          else 0 if cfg.sort_key == "cluster2_nodir"
+                          else 2)
+                    # low-bit budget: cid2/cid3 below the leading id,
+                    # direction cone, then origin Morton with what's left
+                    avail = 30 - cbits - 3 * db
+                    c2bits = min(cbits, max(0, avail)) if want2 else 0
+                    avail -= c2bits
+                    c3bits = min(cbits, max(0, avail)) if want3 else 0
+                    avail -= c3bits
+                    mbits = max(0, avail)
+                    shift = 30 - cbits
+                    key = cid << shift
                     if c2bits:
-                        key = key | ((cid2 & ((1 << c2bits) - 1))
-                                     << (mbits + 3 * db))
-                    key = key | (m >> (27 - mbits))
+                        shift -= c2bits
+                        key = key | ((cid2 & ((1 << c2bits) - 1)) << shift)
+                    if c3bits:
+                        shift -= c3bits
+                        key = key | ((cid3 & ((1 << c3bits) - 1)) << shift)
+                    if db:
+                        lvl = 1 << (db - 1)
+                        q = jnp.clip(((d + 1.0) * lvl).astype(jnp.int32),
+                                     0, 2 * lvl - 1)
+                        dirq = ((q[:, 0] << (2 * db)) | (q[:, 1] << db)
+                                | q[:, 2])
+                        shift -= 3 * db
+                        key = key | (dirq << shift)
+                    # top mbits Morton bits (m < 2^27: a no-op shift when
+                    # small scenes leave more room than Morton fills)
+                    key = key | (m >> max(0, 27 - mbits))
                     cluster1_bits = cbits  # miss-fold decodes cid post-sort
                 elif cfg.sort_key == "hybrid":
                     # coarse origin cell (top 2 Morton bits/axis), then
@@ -725,17 +745,31 @@ def render_rays(
                         kernel_shadow = kernel_shadow & (
                             sid < data.sup_planes.shape[0])
                 else:
-                    scid = _tp.nearest_cluster(shadow_o, ls.direction,
-                                               kernel_shadow,
-                                               data.clu_planes,
-                                               spec.bvh, max_t=sdist)
+                    scid2 = None
+                    if cfg.shadow_key2:
+                        # second-nearest cluster id below the first, the
+                        # shadow-side mirror of the cluster2 bounce key
+                        scid, scid2 = _tp.nearest_cluster(
+                            shadow_o, ls.direction, kernel_shadow,
+                            data.clu_planes, spec.bvh, max_t=sdist,
+                            return_second=1)
+                    else:
+                        scid = _tp.nearest_cluster(shadow_o, ls.direction,
+                                                   kernel_shadow,
+                                                   data.clu_planes,
+                                                   spec.bvh, max_t=sdist)
                     if cfg.cluster_miss_fold:
                         kernel_shadow = kernel_shadow & (scid < nc_tot_s)
                 cbits_s = max(1, nc_tot_s.bit_length())
-                mbits_s = max(0, 30 - cbits_s - bits_l)
-                skey = ((scid << (30 - cbits_s))
-                        | (light_idx << mbits_s)
-                        | (m >> max(0, 27 - mbits_s)))
+                c2bits_s = (min(cbits_s, max(0, 30 - cbits_s - bits_l))
+                            if cfg.shadow_key2 and not cfg.shadow_hit_key
+                            else 0)
+                mbits_s = max(0, 30 - cbits_s - c2bits_s - bits_l)
+                skey = (scid << (30 - cbits_s)) | (light_idx << mbits_s)
+                if c2bits_s:
+                    skey = skey | ((scid2 & ((1 << c2bits_s) - 1))
+                                   << (mbits_s + bits_l))
+                skey = skey | (m >> max(0, 27 - mbits_s))
             else:
                 shift = 29 - bits_l
                 mm = m if shift >= 27 else (m >> (27 - shift))

@@ -276,6 +276,10 @@ class RenderConfig:
     # starts ON the hit triangle, inside its cluster's box, so the exact
     # nearest slab-hit cluster is almost always that cluster anyway.
     shadow_hit_key: bool = False
+    # Shadow-side second-nearest cluster id below the first in the shadow
+    # sort key (the shadow mirror of the cluster2 bounce key); one extra
+    # (N, NC) compare+min on keys the broad phase already forms.
+    shadow_key2: bool = False
     # SBVH-style spatial pre-split budget (extra references as a fraction
     # of the triangle count; 0 disables).  Splits huge triangles into
     # clipped references so cluster AABBs stay tight.  MEASURED NEGATIVE
@@ -337,12 +341,16 @@ class RenderConfig:
     # direction cones instead of 64) | "cluster2" (second-nearest cluster id
     # below the first: rays sharing their first TWO visits pack together) |
     # "cluster1_hit" (previous-hit cluster id as the free grouping proxy +
-    # super-level broad phase/fold — ~15x cheaper key computation).
-    # cluster1 measured 196.8 vs dir6's 260.6
-    # ms/sample on dragon 1024^2 (sweep_r3 batch12) — the broad phase +
-    # miss fold cut bounce visits 11.2 -> 9.0 mean and lift the bounce
-    # zero-visit fraction 0.43 -> 0.64.
-    sort_key: str = "cluster1"
+    # super-level broad phase/fold — ~15x cheaper key computation, but
+    # MEASURED WORSE: 216.5 vs 190.9, bounce visits -> 10.96; the exact
+    # broad phase earns its cost) | "cluster2_nodir"/"cluster3" (low-bit
+    # ablations under cid1|cid2).
+    # cluster1 measured 196.8 vs dir6's 260.6 ms/sample on dragon 1024^2
+    # (sweep_r3 batch12); cluster2 (the default) measured 184.4 vs
+    # cluster1's 192.0 same-process (batch17) with bounce visits mean
+    # 8.25 -> 5.65, p50 5 -> 2 — rays sharing their first TWO traversal
+    # visits pack together.
+    sort_key: str = "cluster2"
     # With sort_key="cluster1": rays whose broad phase finds NO cluster
     # overlap (sky rays, or rays that can only hit the scene-spanning
     # global set) are masked out of the closest-hit kernel — the cluster1

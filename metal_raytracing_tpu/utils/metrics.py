@@ -150,6 +150,14 @@ def visit_percentiles(stats: Dict[str, object]) -> Dict[str, object]:
                 # MORE zero-visit tiles is not misread as a regression
                 out["bounce_zero_visit_frac"] = round(
                     float((ball == 0).mean()), 3)
+                # per-bounce means over VISITED tiles: the bounces are not
+                # alike (pipeline splits show the LAST bounce's pass pair
+                # costs ~4-5x the first's — its rays are the divergent
+                # survivors), so pooled stats hide where the visits live
+                out["bounce_visits_mean_by_bounce"] = [
+                    (lambda a: round(float(a[a > 0].mean()), 2)
+                     if (a > 0).any() else 0.0)(np.asarray(stats[k]))
+                    for k in vkeys[1:]]
     skeys = sorted(k for k in stats if k.startswith("shadow_visits_"))
     if skeys:
         sall = np.concatenate([np.asarray(stats[k]) for k in skeys])
@@ -161,4 +169,8 @@ def visit_percentiles(stats: Dict[str, object]) -> Dict[str, object]:
                 round(float(sv.mean()), 2)]
             out["shadow_zero_visit_frac"] = round(
                 float((sall == 0).mean()), 3)
+            out["shadow_visits_mean_by_bounce"] = [
+                (lambda a: round(float(a[a > 0].mean()), 2)
+                 if (a > 0).any() else 0.0)(np.asarray(stats[k]))
+                for k in skeys]
     return out
