@@ -189,6 +189,8 @@ def main() -> int:
         # cluster-size re-probe under cluster2's changed visit economics
         ("cluster2_c256", dict(sort_key="cluster2", cluster_size=256)),
         ("cluster2_c512", dict(sort_key="cluster2", cluster_size=512)),
+        # two dense tests per inner-loop iteration (machinery amortizer)
+        ("pairs", dict(visit_pairs=True)),
         ("skip_on", dict(chunk_skip=True)),
         ("sahfree_c512_skip", dict(bvh_builder="sah_free", cluster_size=512,
                                    chunk_skip=True)),

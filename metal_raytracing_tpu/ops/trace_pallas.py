@@ -716,6 +716,7 @@ def _closest_kernel(*refs,
                     g_base: int = 0, g_chunks: int = 0, n_global: int = 0,
                     g_planes: tuple = (), use_counts: bool = False,
                     host_seed: bool = False, baked: bool = False,
+                    pair_visits: bool = False,
                     count_visits: bool = False):
   # baked=True: shared-origin rays against bake_origin()-shifted planes —
   # ray comps are [dx dy dz maskf] and every o-dependent term is gone
@@ -850,6 +851,33 @@ def _closest_kernel(*refs,
             upd = vkey < best_key
             best_key = jnp.where(upd, vkey, best_key)
             best_base = jnp.where(upd, base, best_base)
+            if pair_visits:
+                # Second-best cluster in the SAME iteration: the per-visit
+                # machinery (score recompute + loop-carry round trip) is
+                # the measured bottleneck, not the dense ALU — amortize it
+                # over two dense tests.  Visiting a cluster the refreshed
+                # score would have culled is pure waste, never wrong: the
+                # packed-key min is order-independent, so results are
+                # bit-identical to the one-visit walk.
+                score2 = jnp.where(clu_iota == k, BIG_T, cscore)
+                m2 = jnp.min(score2)
+                live2 = m2 < BIG_T * 0.5  # scalar: is there a second one?
+                k2 = jnp.argmin(score2[:, 0])
+                live2f = jnp.where(live2, 1.0, 0.0)
+                cvis = jnp.maximum(
+                    cvis, (clu_iota == k2).astype(jnp.float32) * live2f)
+                base2 = pl.multiple_of((c_base + k2) * c_size, 128)
+                if tri_scratch is not None:
+                    _stream_tri(tri_ref, base2, c_size, tri_scratch,
+                                tri_sem)
+                cnt2 = cnt_ref[c_base + k2] if use_counts else None
+                acc2 = _dense_closest(tri_ref, base2, c_size, tri_scratch,
+                                      ocol, dcol, mask_col, lane, r, cnt2)
+                vkey2 = jnp.min(acc2, axis=1, keepdims=True).T
+                upd2 = (vkey2 < best_key) & live2
+                best_key = jnp.where(upd2, vkey2, best_key)
+                best_base = jnp.where(upd2, base2, best_base)
+                nvis = nvis + live2f
             return (cluster_score(cvis, tn_c, hit_c, _key_to_t(best_key)),
                     cvis, best_key, best_base, nvis + 1.0)
 
@@ -902,6 +930,7 @@ def _closest_kernel(*refs,
 def _any_kernel(*refs, s_per: int, c_size: int, r: int, tb: int,
                 g_base: int = 0, g_chunks: int = 0, n_global: int = 0,
                 g_planes: tuple = (), use_counts: bool = False,
+                pair_visits: bool = False,
                 count_visits: bool = False):
   ray_refs = refs[:8]  # ox oy oz dx dy dz maskf tmax
   (sup_ref, clu_ref, tri_ref, gtri_ref, cnt_ref, _seed_unused,
@@ -985,6 +1014,27 @@ def _any_kernel(*refs, s_per: int, c_size: int, r: int, tb: int,
                              dcol, mask_col, maxt_col, r, cnt)
             newly = jnp.max(acc, axis=1, keepdims=True)  # (R, 1)
             occ_row = jnp.maximum(occ_row, newly.T)
+            if pair_visits:
+                # second candidate in the same iteration (see the closest
+                # kernel): occlusion is order-independent, over-visiting
+                # only wastes — results stay bit-identical
+                score2 = jnp.where(clu_iota == k, BIG_T, cscore)
+                m2 = jnp.min(score2)
+                live2 = m2 < BIG_T * 0.5
+                k2 = jnp.argmin(score2[:, 0])
+                live2f = jnp.where(live2, 1.0, 0.0)
+                cvis = jnp.maximum(
+                    cvis, (clu_iota == k2).astype(jnp.float32) * live2f)
+                base2 = pl.multiple_of((c_base + k2) * c_size, 128)
+                if tri_scratch is not None:
+                    _stream_tri(tri_ref, base2, c_size, tri_scratch,
+                                tri_sem)
+                cnt2 = cnt_ref[c_base + k2] if use_counts else None
+                acc2 = _dense_any(tri_ref, base2, c_size, tri_scratch,
+                                  ocol, dcol, mask_col, maxt_col, r, cnt2)
+                newly2 = jnp.max(acc2, axis=1, keepdims=True)
+                occ_row = jnp.maximum(occ_row, newly2.T * live2f)
+                nvis = nvis + live2f
             return (cluster_score(cvis, tn_c, hit_c, occ_row), cvis,
                     occ_row, nvis + 1.0)
 
@@ -1328,7 +1378,8 @@ def trace_closest(o, d, mask, sup, clu, tri, spec: BVHSpec,
                   block: int = 128, tiles_per_step: int = 8,
                   stream=None, count_visits: bool = False,
                   exact_uv: bool = True, flat=None, counts=None,
-                  seed_key=None, baked_origin: bool = False):
+                  seed_key=None, baked_origin: bool = False,
+                  pair_visits: bool = False):
     """Closest-hit query via the hierarchical Pallas tracer.
 
     ``sup``/``clu``/``tri`` are the prepacked planes from
@@ -1417,7 +1468,8 @@ def trace_closest(o, d, mask, sup, clu, tri, spec: BVHSpec,
         kernel = functools.partial(_closest_kernel, s_per=s_per,
                                    c_size=spec.cluster_size, r=block, tb=tb,
                                    count_visits=count_visits,
-                                   baked=baked_origin, **gkw)
+                                   baked=baked_origin,
+                                   pair_visits=pair_visits, **gkw)
     out_shapes = (
         jax.ShapeDtypeStruct((nb, 1, block), jnp.float32),
         jax.ShapeDtypeStruct((nb, 1, block), jnp.int32),
@@ -1465,7 +1517,7 @@ def trace_closest(o, d, mask, sup, clu, tri, spec: BVHSpec,
 def trace_any(o, d, max_t, mask, sup, clu, tri, spec: BVHSpec,
               block: int = 128, tiles_per_step: int = 8, stream=None,
               count_visits: bool = False, flat=None, counts=None,
-              seed_global: bool = True):
+              seed_global: bool = True, pair_visits: bool = False):
     """Any-hit occlusion query via the hierarchical Pallas tracer.
 
     With ``count_visits=True`` returns ``(occluded, (NB,) visits)`` —
@@ -1515,7 +1567,8 @@ def trace_any(o, d, max_t, mask, sup, clu, tri, spec: BVHSpec,
     else:
         kernel = functools.partial(_any_kernel, s_per=s_per,
                                    c_size=spec.cluster_size, r=block, tb=tb,
-                                   count_visits=count_visits, **gkw)
+                                   count_visits=count_visits,
+                                   pair_visits=pair_visits, **gkw)
     out_shapes = (jax.ShapeDtypeStruct((nb, 1, block), jnp.int32),)
     out_specs = (pl.BlockSpec((tb, 1, block), lambda i: (i, 0, 0),
                               memory_space=pltpu.VMEM),)

@@ -160,6 +160,8 @@ def _make_tracers(data: SceneData, spec: SceneSpec, cfg: RenderConfig):
             clu=data.clu_planes, tri=data.tri_planes, spec=spec.bvh,
             count_visits=cfg.telemetry,
             counts=data.clu_counts if cfg.chunk_skip else None,
+            pair_visits=(cfg.visit_pairs
+                         and not trace_pallas._use_flat(spec.bvh, None)),
             # the renderer recomputes exact t from the shade-row gather it
             # pays anyway — skip the tracer's own plane gather
             exact_uv=False)
@@ -168,6 +170,8 @@ def _make_tracers(data: SceneData, spec: SceneSpec, cfg: RenderConfig):
             clu=data.clu_planes, tri=data.tri_planes, spec=spec.bvh,
             count_visits=cfg.telemetry,
             counts=data.clu_counts if cfg.chunk_skip else None,
+            pair_visits=(cfg.visit_pairs
+                         and not trace_pallas._use_flat(spec.bvh, None)),
             # with the host-side fold the kernels never test the
             # global set (render_rays masks occluded rays instead)
             seed_global=not host_seed)

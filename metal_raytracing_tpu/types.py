@@ -280,6 +280,12 @@ class RenderConfig:
     # sort key (the shadow mirror of the cluster2 bounce key); one extra
     # (N, NC) compare+min on keys the broad phase already forms.
     shadow_key2: bool = False
+    # Visit TWO clusters per inner traversal iteration in the closest
+    # kernel: the per-visit machinery (score recompute + loop-carry round
+    # trip) is the measured bottleneck — amortize it over two dense
+    # tests.  Bit-identical results (the packed-key min is
+    # order-independent; over-visiting wastes, never corrupts).
+    visit_pairs: bool = False
     # SBVH-style spatial pre-split budget (extra references as a fraction
     # of the triangle count; 0 disables).  Splits huge triangles into
     # clipped references so cluster AABBs stay tight.  MEASURED NEGATIVE

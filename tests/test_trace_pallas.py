@@ -193,6 +193,30 @@ def test_pallas_cluster1_many_lights_no_leak():
     assert rmse(ref, got) < 1e-7
 
 
+def test_pallas_pair_visits_bit_identical(scene_data):
+    """pair_visits dense-tests TWO clusters per inner iteration; the
+    packed-key min is order-independent and over-visiting can only waste
+    work, so (t, tri) must be BIT-identical to the one-visit walk."""
+    data, spec = scene_data
+    o, d = _rays(256, seed=23)
+    mask = jnp.ones((256,), bool)
+    ref = TP.trace_closest(o, d, mask, data.sup_planes, data.clu_planes,
+                           data.tri_planes, spec.bvh, flat=False,
+                           exact_uv=False)
+    got = TP.trace_closest(o, d, mask, data.sup_planes, data.clu_planes,
+                           data.tri_planes, spec.bvh, flat=False,
+                           exact_uv=False, pair_visits=True)
+    np.testing.assert_array_equal(np.asarray(ref.t), np.asarray(got.t))
+    np.testing.assert_array_equal(np.asarray(ref.tri), np.asarray(got.tri))
+    maxt = jnp.full((256,), 4.0, jnp.float32)
+    ra = TP.trace_any(o, d, maxt, mask, data.sup_planes, data.clu_planes,
+                      data.tri_planes, spec.bvh, flat=False)
+    ga = TP.trace_any(o, d, maxt, mask, data.sup_planes, data.clu_planes,
+                      data.tri_planes, spec.bvh, flat=False,
+                      pair_visits=True)
+    np.testing.assert_array_equal(np.asarray(ra), np.asarray(ga))
+
+
 def test_pallas_baked_origin_matches_unbaked(scene_data):
     """Shared-origin rays traced against bake_origin()-shifted planes
     (the primary-pass specialization) must match the plain kernel: t is

@@ -98,6 +98,29 @@ def test_baked_origin_matches_oracle_compiled(built, stream):
                                np.asarray(ref.t)[hits], rtol=1e-4)
 
 
+def test_pair_visits_compiled(built):
+    """pair_visits (two dense tests per inner iteration) on real Mosaic:
+    results must be bit-identical to the one-visit walk."""
+    data, spec = built
+    o, d = _rays(256, seed=29)
+    mask = jnp.ones((256,), bool)
+    ref = TP.trace_closest(o, d, mask, data.sup_planes, data.clu_planes,
+                           data.tri_planes, spec.bvh, block=128,
+                           flat=False, exact_uv=False)
+    got = TP.trace_closest(o, d, mask, data.sup_planes, data.clu_planes,
+                           data.tri_planes, spec.bvh, block=128,
+                           flat=False, exact_uv=False, pair_visits=True)
+    np.testing.assert_array_equal(np.asarray(ref.t), np.asarray(got.t))
+    np.testing.assert_array_equal(np.asarray(ref.tri), np.asarray(got.tri))
+    maxt = jnp.full((256,), 4.0, jnp.float32)
+    ra = TP.trace_any(o, d, maxt, mask, data.sup_planes, data.clu_planes,
+                      data.tri_planes, spec.bvh, block=128, flat=False)
+    ga = TP.trace_any(o, d, maxt, mask, data.sup_planes, data.clu_planes,
+                      data.tri_planes, spec.bvh, block=128, flat=False,
+                      pair_visits=True)
+    np.testing.assert_array_equal(np.asarray(ra), np.asarray(ga))
+
+
 def test_count_visits_compiled(built):
     data, spec = built
     o, d = _rays(128, seed=17)
