@@ -12,7 +12,7 @@ scene at 1024x1024 on one TPU v5e chip.  ``vs_baseline`` is value / 50.
 
 Environment knobs:
     BENCH_SIZE=1024      image width == height (headline scene)
-    BENCH_SAMPLES=3      timed progressive samples (after 1 warmup)
+    BENCH_SAMPLES=8      timed progressive samples (after 1 warmup)
     BENCH_SCENE=dragon
     BENCH_TRACER=auto    auto | bvh | pallas | bruteforce
     BENCH_LADDER=plane_sphere,coatball   extra scenes ('' to disable)
@@ -97,7 +97,7 @@ _LADDER_SIZES = {
 
 def main() -> int:
     size = int(os.environ.get("BENCH_SIZE", "1024"))
-    samples = int(os.environ.get("BENCH_SAMPLES", "3"))
+    samples = int(os.environ.get("BENCH_SAMPLES", "8"))
     scene_name = os.environ.get("BENCH_SCENE", "dragon")
     tracer = os.environ.get("BENCH_TRACER", "auto")
     ladder = [s for s in os.environ.get(

@@ -280,11 +280,13 @@ class RenderConfig:
     # sort key (the shadow mirror of the cluster2 bounce key); one extra
     # (N, NC) compare+min on keys the broad phase already forms.
     shadow_key2: bool = False
-    # Visit TWO clusters per inner traversal iteration in the closest
-    # kernel: the per-visit machinery (score recompute + loop-carry round
-    # trip) is the measured bottleneck — amortize it over two dense
-    # tests.  Bit-identical results (the packed-key min is
+    # Visit TWO clusters per inner traversal iteration (closest + any
+    # kernels).  Bit-identical results (the packed-key min is
     # order-independent; over-visiting wastes, never corrupts).
+    # MEASURED NEGATIVE on dragon 1024^2: 201.4 vs 187.8 ms/sample
+    # (batch22) with near-zero visit waste — suspected Mosaic register
+    # pressure from two live (R, CHUNK) dense accumulators.  Kept as a
+    # knob for smaller-cluster configs.
     visit_pairs: bool = False
     # SBVH-style spatial pre-split budget (extra references as a fraction
     # of the triangle count; 0 disables).  Splits huge triangles into
