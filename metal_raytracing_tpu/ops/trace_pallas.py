@@ -1525,7 +1525,13 @@ def trace_any(o, d, max_t, mask, sup, clu, tri, spec: BVHSpec,
     candidate cluster for unoccluded rays, so their visit counts can
     exceed the closest pass's; the bench telemetry tracks both).
     ``flat`` as in :func:`trace_closest`.  ``o``/``d`` may be component
-    tuples (see :func:`_pack_rays`)."""
+    tuples (see :func:`_pack_rays`).  ``pair_visits`` applies to the
+    HIERARCHICAL kernel only and is silently ignored when the flat
+    kernel is selected (it amortizes the nested-loop machinery the flat
+    walk does not have) — unlike ``baked_origin`` in
+    :func:`trace_closest`, which raises, because baking changes the
+    *inputs* while pair_visits only changes the visit schedule
+    (bit-identical results either way)."""
     _check_cluster_alignment(spec)
     n = (o[0] if isinstance(o, (tuple, list)) else o).shape[0]
     assert n % block == 0, f"ray count {n} not a multiple of block {block}"

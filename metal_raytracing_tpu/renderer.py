@@ -351,6 +351,21 @@ def render_rays(
                     want2 = cfg.sort_key in ("cluster2", "cluster2_nodir",
                                              "cluster3")
                     want3 = cfg.sort_key == "cluster3"
+                    # bit budget first: with many clusters (cbits = 12)
+                    # the third id would get 0 key bits — skip its extra
+                    # (N, NC) rank pass instead of paying it for nothing
+                    # (ADVICE round 3 #2)
+                    cbits = max(1, nc_tot.bit_length())
+                    db = (3 if cfg.sort_key == "cluster1_dir9"
+                          else 0 if cfg.sort_key == "cluster2_nodir"
+                          else 2)
+                    avail = 30 - cbits - 3 * db
+                    c2bits = min(cbits, max(0, avail)) if want2 else 0
+                    avail -= c2bits
+                    c3bits = min(cbits, max(0, avail)) if want3 else 0
+                    avail -= c3bits
+                    mbits = max(0, avail)
+                    want3 = want3 and c3bits > 0
                     if cfg.sort_key == "cluster1_hit":
                         # Cheap proxy broad phase: a bounce ray starts ON
                         # its previous hit, whose cluster box contains the
@@ -410,21 +425,11 @@ def render_rays(
                         beats = (gk < jnp.int32(_tp._MISS_KEY)) & (
                             tn_f >= g_plus)
                         cid = jnp.where(beats, jnp.int32(nc_tot), cid)
-                    cbits = max(1, nc_tot.bit_length())
-                    # secondary direction cone: 2 bits/axis (64 cones),
-                    # 3 (512) with "cluster1_dir9", or none with
-                    # "cluster2_nodir" (all low bits go to origin Morton)
-                    db = (3 if cfg.sort_key == "cluster1_dir9"
-                          else 0 if cfg.sort_key == "cluster2_nodir"
-                          else 2)
-                    # low-bit budget: cid2/cid3 below the leading id,
-                    # direction cone, then origin Morton with what's left
-                    avail = 30 - cbits - 3 * db
-                    c2bits = min(cbits, max(0, avail)) if want2 else 0
-                    avail -= c2bits
-                    c3bits = min(cbits, max(0, avail)) if want3 else 0
-                    avail -= c3bits
-                    mbits = max(0, avail)
+                    # key layout: leading cluster id, cid2/cid3 below it,
+                    # direction cone (2 bits/axis = 64 cones; 3 with
+                    # "cluster1_dir9"; none with "cluster2_nodir"), then
+                    # origin Morton with whatever bits remain (budget
+                    # computed above, before the broad-phase call)
                     shift = 30 - cbits
                     key = cid << shift
                     if c2bits:
@@ -739,8 +744,16 @@ def render_rays(
                     # the segment fold falls back to the SUPER level
                     # (conservative: no super overlap => no cluster
                     # overlap), an (N, NS) slab ~15x cheaper.
-                    scid = jnp.minimum(tri // spec.bvh.cluster_size,
-                                       nc_tot_s - 1)
+                    # global-set-origin rays (tri >= global_base — e.g.
+                    # the floor, the dominant hit surface) get their OWN
+                    # group id nc_tot_s instead of an arbitrary clamped
+                    # real cluster's (ADVICE round 3 #4); sort-key-only,
+                    # and nc_tot_s < 2^cbits_s keeps the key below the
+                    # dead sentinel
+                    scid = jnp.where(
+                        tri >= spec.bvh.global_base, jnp.int32(nc_tot_s),
+                        jnp.minimum(tri // spec.bvh.cluster_size,
+                                    nc_tot_s - 1))
                     if cfg.cluster_miss_fold:
                         sid = _tp.nearest_cluster(
                             shadow_o, ls.direction, kernel_shadow,
@@ -957,20 +970,30 @@ def accumulate(prev: jnp.ndarray, sample: jnp.ndarray,
     return (prev * fi + sample) / (fi + 1.0)
 
 
-@functools.partial(jax.jit, static_argnames=("spec", "cfg"),
+@functools.partial(jax.jit, static_argnames=("spec", "cfg", "k"),
                    donate_argnums=(3, 4))
 def _progressive_step(data, offsets, frame_index, accum_img, ray_totals, *,
-                      spec, cfg):
-    sample, stats = render_sample(data, spec, cfg, offsets, frame_index)
+                      spec, cfg, k=1):
     # Ray counters fold into a donated device array instead of being
     # fetched per step: fetching would host-sync every sample and defeat
     # async dispatch — the analog of the reference's triple buffering
     # (reference: Renderer.swift:33-34, 285-287).  f32 accumulation: each
     # per-sample count is an exact small int; the total is a metric, not an
     # invariant.
-    new_totals = ray_totals + jnp.stack(
-        [stats["closest_rays"], stats["shadow_rays"]]).astype(jnp.float32)
-    return accumulate(accum_img, sample, frame_index), new_totals
+    def one(fi, accum_img, ray_totals):
+        sample, stats = render_sample(data, spec, cfg, offsets, fi)
+        new_totals = ray_totals + jnp.stack(
+            [stats["closest_rays"], stats["shadow_rays"]]).astype(jnp.float32)
+        return accumulate(accum_img, sample, fi), new_totals
+
+    if k == 1:
+        return one(frame_index, accum_img, ray_totals)
+    # k samples per dispatch (RenderConfig.samples_per_dispatch): the
+    # same sequential accumulate fold, inside one program — dispatch
+    # latency is paid once per k samples instead of per sample.
+    return jax.lax.fori_loop(
+        0, k, lambda i, c: one(frame_index + i, *c),
+        (accum_img, ray_totals))
 
 
 class Renderer:
@@ -993,6 +1016,10 @@ class Renderer:
         self.frame_index = 0
         self.accum = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
         self.ray_totals = jnp.zeros((2,), jnp.float32)
+        # samples per jitted dispatch (0 = auto: small scenes are
+        # dispatch-latency-bound; see RenderConfig.samples_per_dispatch)
+        self.samples_per_dispatch = cfg.samples_per_dispatch or (
+            4 if cfg.num_pixels <= 512 * 512 else 1)
 
     def reset(self) -> None:
         """Restart progressive accumulation (zero the average, frame 0) —
@@ -1003,15 +1030,17 @@ class Renderer:
             (self.cfg.height, self.cfg.width, 3), jnp.float32)
         self.ray_totals = jnp.zeros((2,), jnp.float32)
 
-    def step(self) -> None:
-        """Render one sample for every pixel and fold it into the average.
+    def step(self, k: Optional[int] = None) -> None:
+        """Render ``k`` samples (default: the dispatch batch size) for
+        every pixel and fold them into the average.
 
         Fully async: nothing here touches host memory, so consecutive
         ``step()`` calls enqueue without an intervening device fence."""
+        k = self.samples_per_dispatch if k is None else k
         self.accum, self.ray_totals = _progressive_step(
             self.data, self.offsets, jnp.int32(self.frame_index),
-            self.accum, self.ray_totals, spec=self.spec, cfg=self.cfg)
-        self.frame_index += 1
+            self.accum, self.ray_totals, spec=self.spec, cfg=self.cfg, k=k)
+        self.frame_index += k
 
     @property
     def total_closest_rays(self) -> int:
@@ -1024,10 +1053,15 @@ class Renderer:
         return int(self.ray_totals[1])
 
     def render(self, spp: Optional[int] = None) -> np.ndarray:
-        """Render ``spp`` samples (default cfg.spp); returns (H, W, 3) f32."""
+        """Render ``spp`` more samples (default cfg.spp); returns
+        (H, W, 3) f32.  Dispatches in ``samples_per_dispatch`` batches
+        with an exact remainder step, so ``total_samples`` advances by
+        exactly ``spp`` (checkpoint semantics unchanged)."""
         spp = self.cfg.spp if spp is None else spp
-        for _ in range(spp):
-            self.step()
+        target = self.total_samples + spp
+        while self.total_samples < target:
+            self.step(min(self.samples_per_dispatch,
+                          target - self.total_samples))
         return np.asarray(jax.device_get(self.accum))
 
     @property

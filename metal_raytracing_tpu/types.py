@@ -393,6 +393,15 @@ class RenderConfig:
     # mipmapped ColorMap asset it never samples — SURVEY.md §2d)
     texture_filter: str = "nearest"
     env_map: bool = False
+    # Samples rendered per jitted dispatch (a lax.fori_loop over the
+    # sample index with the progressive-accumulation fold inline).  Small
+    # scenes are DISPATCH-bound (~1.5-2.5 ms tunnel latency per jitted
+    # call, BASELINE.md) the way the reference pays one dispatch per
+    # vsync frame (reference: Renderer.swift:284); batching k samples
+    # amortizes it.  0 = auto (4 for images <= 512x512, else 1).
+    # Identical image: the in-loop fold is the same sequential
+    # ``accumulate`` the per-step path applies.
+    samples_per_dispatch: int = 0
     # Traversal telemetry: adds per-bounce clusters-visited arrays to the
     # render stats (pallas tracer only; compiles a separate instrumented
     # kernel — leave off on the hot path).

@@ -67,6 +67,7 @@ def benchmark_renderer(renderer, samples: int = 4,
     compile_s = time.perf_counter() - t0
 
     rays_before = renderer.total_closest_rays + renderer.total_shadow_rays
+    samples_before = renderer.total_samples
     t0 = time.perf_counter()
     for _ in range(samples):
         renderer.step()
@@ -74,11 +75,14 @@ def benchmark_renderer(renderer, samples: int = 4,
     seconds = time.perf_counter() - t0
     rays = (renderer.total_closest_rays + renderer.total_shadow_rays
             - rays_before)
+    # a step may fold several samples (samples_per_dispatch batching /
+    # spp-sharded meshes) — per-sample figures use the true count
+    samples_done = renderer.total_samples - samples_before
 
     return BenchResult(
         scene=getattr(renderer.scene, "name", "scene"),
         width=renderer.cfg.width, height=renderer.cfg.height,
-        samples=samples, rays=rays, seconds=seconds,
+        samples=samples_done, rays=rays, seconds=seconds,
         compile_seconds=compile_s)
 
 
@@ -117,17 +121,32 @@ def wavefront_stats(data, spec, cfg, offsets) -> Dict[str, object]:
     }
 
 
-def visit_percentiles(stats: Dict[str, object]) -> Dict[str, object]:
+def visit_percentiles(stats: Dict[str, object],
+                      pixels: int = 0) -> Dict[str, object]:
     """Clusters-visited percentiles from telemetry render stats.
 
     Shared by bench.py, benchmarks/ladder.py, and benchmarks/sweep_r2.py so
     the extraction (and its empty-stats guards) cannot drift between them.
     Returns {} for non-pallas tracers (no ``visits_*`` keys).  Zero-visit
     tiles (compacted-dead blocks) are excluded from bounce/shadow stats.
+
+    With ``pixels`` > 0 also reports per-bounce LIVE-ray and shadow-ray
+    fractions (``live_frac_by_bounce``/``shadow_frac_by_bounce``) from the
+    telemetry counters — the load-bearing statistic for the live-prefix
+    (occupancy-proportional) pipeline stages (VERDICT round 3 #1/#9).
     """
     import numpy as np
 
     out: Dict[str, object] = {}
+    if pixels:
+        lkeys = sorted(k for k in stats if k.startswith("live_b"))
+        if lkeys:
+            out["live_frac_by_bounce"] = [
+                round(int(stats[k]) / pixels, 4) for k in lkeys]
+        skeys_n = sorted(k for k in stats if k.startswith("shadow_b"))
+        if skeys_n:
+            out["shadow_frac_by_bounce"] = [
+                round(int(stats[k]) / pixels, 4) for k in skeys_n]
     vkeys = sorted(k for k in stats if k.startswith("visits_"))
     if vkeys:
         prim = np.asarray(stats[vkeys[0]])

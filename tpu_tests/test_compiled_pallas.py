@@ -98,26 +98,32 @@ def test_baked_origin_matches_oracle_compiled(built, stream):
                                np.asarray(ref.t)[hits], rtol=1e-4)
 
 
-def test_pair_visits_compiled(built):
+@pytest.mark.parametrize("stream", [False, True])
+def test_pair_visits_compiled(built, stream):
     """pair_visits (two dense tests per inner iteration) on real Mosaic:
-    results must be bit-identical to the one-visit walk."""
+    results must be bit-identical to the one-visit walk.  stream=True
+    exercises the second _stream_tri DMA into the SAME (16, c_size)
+    scratch within one loop iteration — DMA-ordering behavior interpret
+    tests cannot catch (ADVICE round 3 #1)."""
     data, spec = built
     o, d = _rays(256, seed=29)
     mask = jnp.ones((256,), bool)
     ref = TP.trace_closest(o, d, mask, data.sup_planes, data.clu_planes,
                            data.tri_planes, spec.bvh, block=128,
-                           flat=False, exact_uv=False)
+                           flat=False, exact_uv=False, stream=stream)
     got = TP.trace_closest(o, d, mask, data.sup_planes, data.clu_planes,
                            data.tri_planes, spec.bvh, block=128,
-                           flat=False, exact_uv=False, pair_visits=True)
+                           flat=False, exact_uv=False, pair_visits=True,
+                           stream=stream)
     np.testing.assert_array_equal(np.asarray(ref.t), np.asarray(got.t))
     np.testing.assert_array_equal(np.asarray(ref.tri), np.asarray(got.tri))
     maxt = jnp.full((256,), 4.0, jnp.float32)
     ra = TP.trace_any(o, d, maxt, mask, data.sup_planes, data.clu_planes,
-                      data.tri_planes, spec.bvh, block=128, flat=False)
+                      data.tri_planes, spec.bvh, block=128, flat=False,
+                      stream=stream)
     ga = TP.trace_any(o, d, maxt, mask, data.sup_planes, data.clu_planes,
                       data.tri_planes, spec.bvh, block=128, flat=False,
-                      pair_visits=True)
+                      pair_visits=True, stream=stream)
     np.testing.assert_array_equal(np.asarray(ra), np.asarray(ga))
 
 
