@@ -65,6 +65,7 @@ _ANCHOR_OVERRIDES = dict(
     live_widths=0,
     carry_seed=False,
     fused_broadphase=False,
+    shadow_mid_order=False,
 )
 
 

@@ -711,6 +711,192 @@ def global_any_hit(o, d, max_t, mask, tri, spec: BVHSpec):
     return jnp.any(hit, axis=1)
 
 
+# Packed-key sentinel of the (entry-t | cluster-id) broad-phase keys
+# (12 id bits — see nearest_cluster); shared by the XLA and Pallas forms.
+_NC_IDM = (1 << 12) - 1
+_NC_SENT = int((np.float32(BIG_T).view(np.int32).item() & ~_NC_IDM)
+               | _NC_IDM)
+
+# Cluster-count ceiling for the fused broad-phase kernel: the (NCP, R)
+# slab intermediates live in VMEM per tile (~NCP * R * 4 B each, a few
+# live at once).  The cluster sort keys themselves cap at 4095 ids; past
+# this ceiling callers fall back to the XLA broad phase.
+BROADPHASE_MAX_CLUSTERS = 4096
+
+
+def _broadphase_kernel(*refs, r: int, tb: int, g_chunks: int,
+                       any_mode: bool, want2: bool, with_clusters: bool):
+  """Fused per-ray broad phase, one pass per ray tile (VERDICT round 3
+  #2): the (NCP, R) cluster slab -> packed nearest(-2) keys, AND the
+  global-set dense test -> seed key (closest) or occlusion row (any) —
+  work that ran as 2-3 separate full-width XLA passes per bounce
+  (measured ~19.7 + 15.9 ms per 1M rays each; the XLA forms are ~4x off
+  the VPU ALU floor this kernel approaches)."""
+  nray = 8 if any_mode else 7
+  ray_refs = refs[:nray]  # ox oy oz dx dy dz maskf [tmax]
+  cluf_ref, gtri_ref = refs[nray:nray + 2]
+  outs = refs[nray + 2:]
+  i = 0
+  key1_ref = key2_ref = g_ref = None
+  if with_clusters:
+      key1_ref = outs[i]
+      i += 1
+      if want2:
+          key2_ref = outs[i]
+          i += 1
+  if g_chunks:
+      g_ref = outs[i]
+
+  def tile_body(t, _carry):
+    any_live = jnp.max(ray_refs[6][t, :][None, :]) > 0.0
+
+    @pl.when(jnp.logical_not(any_live))
+    def _():
+        if key1_ref is not None:
+            key1_ref[t, 0, :] = jnp.full((r,), _NC_SENT, jnp.int32)
+        if key2_ref is not None:
+            key2_ref[t, 0, :] = jnp.full((r,), _NC_SENT, jnp.int32)
+        if g_ref is not None:
+            g_ref[t, 0, :] = jnp.full(
+                (r,), 0 if any_mode else _INIT_KEY, jnp.int32)
+
+    @pl.when(any_live)
+    def _():
+        _live_tile_body(t)
+    return _carry
+
+  def _live_tile_body(t):
+    (o_rows, d_rows, inv_rows, ocol, dcol, mask_row, mask_col,
+     maxt_row, maxt_col) = _ray_views(ray_refs, t)
+
+    if with_clusters:
+        # identical formula chain to the XLA nearest_cluster so the two
+        # forms agree except ~1-ulp contraction differences (the sort
+        # key tolerates those; the miss fold's chop-step margin absorbs
+        # them)
+        tn_c, hit_c = _slab_cols(
+            _box_cols(cluf_ref), o_rows, inv_rows,
+            maxt_row if any_mode else BIG_T)
+        hit_c = hit_c & mask_row
+        tn_c = jnp.maximum(tn_c, 0.0)
+        ncp = cluf_ref.shape[0]
+        iota = jax.lax.broadcasted_iota(jnp.int32, (ncp, 1), 0)
+        ti = jax.lax.bitcast_convert_type(tn_c, jnp.int32)
+        key = (ti & ~_NC_IDM) | iota
+        key = jnp.where(hit_c, key, _NC_SENT)
+        key1 = jnp.min(key, axis=0, keepdims=True)  # (1, R)
+        key1_ref[t, 0, :] = key1[0, :]
+        if want2:
+            key2 = jnp.min(jnp.where(key == key1, _NC_SENT, key),
+                           axis=0, keepdims=True)
+            key2_ref[t, 0, :] = key2[0, :]
+
+    if g_chunks:
+        if any_mode:
+            occ = _seed_global_any(0, g_chunks, r, ocol, dcol, mask_col,
+                                   maxt_col, jnp.zeros((1, r), jnp.float32),
+                                   gtri_ref, None, None)
+            g_ref[t, 0, :] = (occ > 0.5).astype(jnp.int32)[0, :]
+        else:
+            gk, _ = _seed_global_closest(0, g_chunks, 0, r,
+                                         jax.lax.broadcasted_iota(
+                                             jnp.int32, (r, CHUNK), 1),
+                                         ocol, dcol, mask_col, gtri_ref,
+                                         None, None)
+            g_ref[t, 0, :] = gk[0, :]
+
+  jax.lax.fori_loop(0, tb, tile_body, jnp.int32(0))
+
+
+def broadphase_keys(o, d, mask, clu, tri, spec: BVHSpec, max_t=None,
+                    want2: bool = False, with_clusters: bool = True,
+                    any_mode: bool = False, block: int = 256,
+                    tiles_per_step: int = 8):
+    """Fused Pallas broad phase: per-ray packed nearest-cluster key(s)
+    plus the global-set result, in ONE kernel pass.
+
+    Returns ``(key1, key2, g)``:
+
+    - ``key1``: (N,) i32 packed (chopped entry-t | cluster id) of the
+      nearest slab-hit cluster — the same packing ``nearest_cluster``
+      returns via ``return_key``; ``_NC_SENT`` where no cluster overlaps
+      (decode with :func:`decode_cluster_key`).  None when
+      ``with_clusters=False``.
+    - ``key2``: same for the second-nearest (``want2``), else None.
+    - ``g``: with ``any_mode=False`` the (N,) i32 packed global-seed key
+      (the :func:`global_seed_keys` layout, t from the kernel's
+      Newton-refined reciprocal — within 2^-16 of the exact divide,
+      inside every consumer's 2^-14 chop margin); with ``any_mode=True``
+      the (N,) i32 0/1 global occlusion flag (:func:`global_any_hit`).
+      None when the scene has no global set.
+
+    ``max_t`` bounds both the cluster slab and the global test (shadow
+    segments; requires ``any_mode=True``)."""
+    n = o.shape[0]
+    assert n % block == 0, f"ray count {n} not a multiple of block {block}"
+    assert (max_t is None) or any_mode, "max_t requires any_mode=True"
+    assert with_clusters or spec.num_global, "kernel would have no output"
+    ncp = clu.shape[0] * clu.shape[1]
+    assert ncp <= BROADPHASE_MAX_CLUSTERS
+    ray_comps, nb = _pack_rays(o, d, mask, max_t, block)
+    tb = _tiles_per_step(nb, tiles_per_step)
+    n_steps = nb // tb
+    ng = spec.num_global
+    g_chunks = spec.padded_global // CHUNK if ng else 0
+    if g_chunks:
+        gtri = jax.lax.dynamic_slice_in_dim(
+            tri, spec.global_base, g_chunks * CHUNK, axis=1)
+    else:
+        gtri = jnp.zeros((N_TRI_PLANES, CHUNK), jnp.float32)
+    cluf = _flat_cluster_planes(clu)
+
+    kernel = functools.partial(
+        _broadphase_kernel, r=block, tb=tb, g_chunks=g_chunks,
+        any_mode=any_mode, want2=want2, with_clusters=with_clusters)
+    out_shapes = []
+    if with_clusters:
+        out_shapes.append(jax.ShapeDtypeStruct((nb, 1, block), jnp.int32))
+        if want2:
+            out_shapes.append(
+                jax.ShapeDtypeStruct((nb, 1, block), jnp.int32))
+    if g_chunks:
+        out_shapes.append(jax.ShapeDtypeStruct((nb, 1, block), jnp.int32))
+    out_spec = pl.BlockSpec((tb, 1, block), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    grid_spec = pl.GridSpec(
+        grid=(n_steps,),
+        in_specs=[pl.BlockSpec((tb, block), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)
+                  for _ in ray_comps]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM),   # flat cluster planes
+           pl.BlockSpec(memory_space=pltpu.VMEM)],  # global plane slab
+        out_specs=tuple(out_spec for _ in out_shapes),
+    )
+    out = pl.pallas_call(
+        kernel, grid_spec=grid_spec, out_shape=tuple(out_shapes),
+        interpret=_should_interpret(),
+    )(*ray_comps, cluf, gtri)
+    res = [x.reshape(n) for x in out]
+    i = 0
+    key1 = key2 = g = None
+    if with_clusters:
+        key1 = res[i]
+        i += 1
+        if want2:
+            key2 = res[i]
+            i += 1
+    if g_chunks:
+        g = res[i]
+    return key1, key2, g
+
+
+def decode_cluster_key(key, ncp: int):
+    """(N,) packed broad-phase key -> (N,) cluster id in [0, ncp]
+    (ncp = no overlap), matching ``nearest_cluster``'s id convention."""
+    return jnp.where(key == jnp.int32(_NC_SENT), jnp.int32(ncp),
+                     key & _NC_IDM)
+
+
 def _closest_kernel(*refs,
                     s_per: int, c_size: int, r: int, tb: int,
                     g_base: int = 0, g_chunks: int = 0, n_global: int = 0,
@@ -930,7 +1116,7 @@ def _closest_kernel(*refs,
 def _any_kernel(*refs, s_per: int, c_size: int, r: int, tb: int,
                 g_base: int = 0, g_chunks: int = 0, n_global: int = 0,
                 g_planes: tuple = (), use_counts: bool = False,
-                pair_visits: bool = False,
+                pair_visits: bool = False, mid_order: bool = False,
                 count_visits: bool = False):
   ray_refs = refs[:8]  # ox oy oz dx dy dz maskf tmax
   (sup_ref, clu_ref, tri_ref, gtri_ref, cnt_ref, _seed_unused,
@@ -970,15 +1156,29 @@ def _any_kernel(*refs, s_per: int, c_size: int, r: int, tb: int,
 
     # occlusion carried as f32 rows (1, R): Mosaic cannot transpose or
     # loop-carry i1 vectors.
+    #
+    # ``mid_order``: prioritize candidates by |entry - segment middle|
+    # instead of entry distance.  Occlusion is order-independent (the
+    # result is bit-identical either way); entry order tests the boxes
+    # nearest the shadow ray's ORIGIN first — usually its own offset
+    # surface, which rarely occludes — while real occluders sit between
+    # the surface and the light.  Mid-first ordering lets the occluded
+    # majority mask out in fewer visits; unoccluded rays exhaust their
+    # candidates regardless (VERDICT round 3 #4).
+    def prio(tn):
+        return jnp.abs(tn - 0.5 * maxt_row) if mid_order else tn
+
     def sup_score(visited, occ_row):
         live = hit_s & (occ_row < 0.5)
-        score = jnp.min(jnp.where(live, jnp.maximum(tn_s, 0.0), BIG_T),
-                        axis=1, keepdims=True)
+        score = jnp.min(
+            jnp.where(live, prio(jnp.maximum(tn_s, 0.0)), BIG_T),
+            axis=1, keepdims=True)
         return jnp.where(visited > 0.0, BIG_T, score)
 
     def cluster_score(cvis, tn_c, hit_c, occ_row):
         live = hit_c & (occ_row < 0.5)
-        cscore = jnp.min(jnp.where(live, tn_c, BIG_T), axis=1, keepdims=True)
+        cscore = jnp.min(jnp.where(live, prio(tn_c), BIG_T),
+                         axis=1, keepdims=True)
         return jnp.where(cvis > 0.0, BIG_T, cscore)
 
     def cluster_cond(st):
@@ -1517,7 +1717,8 @@ def trace_closest(o, d, mask, sup, clu, tri, spec: BVHSpec,
 def trace_any(o, d, max_t, mask, sup, clu, tri, spec: BVHSpec,
               block: int = 128, tiles_per_step: int = 8, stream=None,
               count_visits: bool = False, flat=None, counts=None,
-              seed_global: bool = True, pair_visits: bool = False):
+              seed_global: bool = True, pair_visits: bool = False,
+              mid_order: bool = False):
     """Any-hit occlusion query via the hierarchical Pallas tracer.
 
     With ``count_visits=True`` returns ``(occluded, (NB,) visits)`` —
@@ -1525,8 +1726,11 @@ def trace_any(o, d, max_t, mask, sup, clu, tri, spec: BVHSpec,
     candidate cluster for unoccluded rays, so their visit counts can
     exceed the closest pass's; the bench telemetry tracks both).
     ``flat`` as in :func:`trace_closest`.  ``o``/``d`` may be component
-    tuples (see :func:`_pack_rays`).  ``pair_visits`` applies to the
-    HIERARCHICAL kernel only and is silently ignored when the flat
+    tuples (see :func:`_pack_rays`).  ``mid_order`` visits candidates
+    nearest the SEGMENT MIDDLE first instead of nearest the origin
+    (bit-identical result — occlusion is order-independent; see the
+    kernel's ``prio``).  ``pair_visits`` and ``mid_order`` apply to the
+    HIERARCHICAL kernel only and are silently ignored when the flat
     kernel is selected (it amortizes the nested-loop machinery the flat
     walk does not have) — unlike ``baked_origin`` in
     :func:`trace_closest`, which raises, because baking changes the
@@ -1574,7 +1778,8 @@ def trace_any(o, d, max_t, mask, sup, clu, tri, spec: BVHSpec,
         kernel = functools.partial(_any_kernel, s_per=s_per,
                                    c_size=spec.cluster_size, r=block, tb=tb,
                                    count_visits=count_visits,
-                                   pair_visits=pair_visits, **gkw)
+                                   pair_visits=pair_visits,
+                                   mid_order=mid_order, **gkw)
     out_shapes = (jax.ShapeDtypeStruct((nb, 1, block), jnp.int32),)
     out_specs = (pl.BlockSpec((tb, 1, block), lambda i: (i, 0, 0),
                               memory_space=pltpu.VMEM),)

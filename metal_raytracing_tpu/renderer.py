@@ -113,6 +113,23 @@ def _morton_512(points: jnp.ndarray, data: SceneData) -> jnp.ndarray:
             | _expand_bits_9(q[:, 2]))
 
 
+def _bucket_widths(p: int, pad_to: int, k: int) -> list:
+    """Static prefix-width buckets for the live-prefix tail dispatch:
+    ~k evenly spaced widths, each a multiple of every traversal block
+    size (``pad_to``), the last exactly ``p``.  k <= 1 disables
+    bucketing (a single full-width bucket)."""
+    if k <= 1 or p <= pad_to:
+        return [p]
+    ws = []
+    for j in range(1, k + 1):
+        w = min(p, -(-p * j // k // pad_to) * pad_to)
+        if w >= pad_to and w not in ws:
+            ws.append(w)
+    if not ws or ws[-1] != p:
+        ws.append(p)
+    return ws
+
+
 def _make_tracers(data: SceneData, spec: SceneSpec, cfg: RenderConfig):
     """Tracer pair with a uniform call surface.
 
@@ -170,6 +187,7 @@ def _make_tracers(data: SceneData, spec: SceneSpec, cfg: RenderConfig):
             clu=data.clu_planes, tri=data.tri_planes, spec=spec.bvh,
             count_visits=cfg.telemetry,
             counts=data.clu_counts if cfg.chunk_skip else None,
+            mid_order=cfg.shadow_mid_order,
             pair_visits=(cfg.visit_pairs
                          and not trace_pallas._use_flat(spec.bvh, None)),
             # with the host-side fold the kernels never test the
@@ -188,8 +206,16 @@ def _make_tracers(data: SceneData, spec: SceneSpec, cfg: RenderConfig):
 
         def closest(o, d, m, block=None, seed=None, baked=False):
             if seed is None and host_seed:
-                seed = trace_pallas.global_seed_keys(
-                    o, d, m, data.tri_planes, spec.bvh)
+                if cfg.fused_broadphase:
+                    # global-only variant of the fused broad-phase
+                    # kernel (~4x the XLA pass's throughput)
+                    seed = trace_pallas.broadphase_keys(
+                        o, d, m, data.clu_planes, data.tri_planes,
+                        spec.bvh, with_clusters=False,
+                        block=cfg.broadphase_block)[2]
+                else:
+                    seed = trace_pallas.global_seed_keys(
+                        o, d, m, data.tri_planes, spec.bvh)
             if baked and use_baked:
                 return closest_p(o, d, m, block=block or cfg.ray_block,
                                  seed_key=seed, baked_origin=True,
@@ -315,232 +341,284 @@ def render_rays(
     # previous bounce's hit triangle (for the dir6_cluster sort key)
     prev_tri = jnp.full((p,), -1, jnp.int32)
 
-    for bounce in range(cfg.max_bounces):
-        # set per bounce by the cluster1 sort: live rays whose broad phase
-        # proved they cannot hit any CLUSTER (only sky / the global set)
+    def bounce_sort(bounce, o, d, color, accum, idx, cur, alive, prev_tri):
+        """Compaction-sort one bounce's rays: broad-phase sort keys +
+        the multi-operand lax.sort.  Width-agnostic like bounce_tail —
+        the bounce >= 2 dispatch calls it at the previous bounce's
+        live-prefix bucket width (live rays only ever shrink between
+        sorts, so they all sit inside the previous sort's prefix and the
+        suffix is entirely dead).  Returns the permuted per-ray state
+        plus (known_miss, carried_gk) — None when their config paths are
+        off."""
         known_miss = None
-        if (cfg.compaction and bounce > 0
-                and (cfg.sort_last_bounce
-                     or bounce < cfg.max_bounces - 1)):
-            cluster1_bits = None  # set when the cluster1 key is active
-            if cfg.sort_bounces:
-                # Sorted compaction: live rays ordered by (direction octant,
-                # origin Morton) so each traversal block's rays share BVH
-                # nodes even after a diffuse bounce; dead rays sort last
-                # into whole blocks that traversal skips at fixed cost.
-                # Direction-major ordering measured best on the dragon
-                # scene (blocks of near-parallel rays make tight traversal
-                # frustums even when their origins span several tiles).
-                m = _morton_512(o, data)
-                octant = ((d[:, 0] > 0).astype(jnp.int32)
-                          + 2 * (d[:, 1] > 0).astype(jnp.int32)
-                          + 4 * (d[:, 2] > 0).astype(jnp.int32))
-                nc_tot = (data.clu_planes.shape[0] * data.clu_planes.shape[1]
-                          if (tracer_kind == "pallas"
-                              and data.clu_planes is not None) else 1 << 30)
-                if cfg.sort_key.startswith("cluster") and nc_tot <= 4095:
-                    # Group rays by their NEAREST slab-hit cluster (one
-                    # fused host-side broad phase), then direction cone,
-                    # then origin Morton: a block's rays share their first
-                    # traversal visit by construction instead of by the
-                    # dir6 proxy.  Cluster ids are Morton-ordered by the
-                    # builder, so nearby ids are nearby in space and the
-                    # id-major order keeps inter-block locality too.
-                    from .ops import trace_pallas as _tp
+        carried_gk = None
+        cluster1_bits = None  # set when the cluster1 key is active
+        carried_gk = None  # global-seed key riding the sort (carry_seed)
+        if cfg.sort_bounces:
+            # Sorted compaction: live rays ordered by (direction octant,
+            # origin Morton) so each traversal block's rays share BVH
+            # nodes even after a diffuse bounce; dead rays sort last
+            # into whole blocks that traversal skips at fixed cost.
+            # Direction-major ordering measured best on the dragon
+            # scene (blocks of near-parallel rays make tight traversal
+            # frustums even when their origins span several tiles).
+            m = _morton_512(o, data)
+            octant = ((d[:, 0] > 0).astype(jnp.int32)
+                      + 2 * (d[:, 1] > 0).astype(jnp.int32)
+                      + 4 * (d[:, 2] > 0).astype(jnp.int32))
+            nc_tot = (data.clu_planes.shape[0] * data.clu_planes.shape[1]
+                      if (tracer_kind == "pallas"
+                          and data.clu_planes is not None) else 1 << 30)
+            if cfg.sort_key.startswith("cluster") and nc_tot <= 4095:
+                # Group rays by their NEAREST slab-hit cluster (one
+                # fused host-side broad phase), then direction cone,
+                # then origin Morton: a block's rays share their first
+                # traversal visit by construction instead of by the
+                # dir6 proxy.  Cluster ids are Morton-ordered by the
+                # builder, so nearby ids are nearby in space and the
+                # id-major order keeps inter-block locality too.
+                from .ops import trace_pallas as _tp
 
-                    want2 = cfg.sort_key in ("cluster2", "cluster2_nodir",
-                                             "cluster3")
-                    want3 = cfg.sort_key == "cluster3"
-                    # bit budget first: with many clusters (cbits = 12)
-                    # the third id would get 0 key bits — skip its extra
-                    # (N, NC) rank pass instead of paying it for nothing
-                    # (ADVICE round 3 #2)
-                    cbits = max(1, nc_tot.bit_length())
-                    db = (3 if cfg.sort_key == "cluster1_dir9"
-                          else 0 if cfg.sort_key == "cluster2_nodir"
-                          else 2)
-                    avail = 30 - cbits - 3 * db
-                    c2bits = min(cbits, max(0, avail)) if want2 else 0
-                    avail -= c2bits
-                    c3bits = min(cbits, max(0, avail)) if want3 else 0
-                    avail -= c3bits
-                    mbits = max(0, avail)
-                    want3 = want3 and c3bits > 0
-                    if cfg.sort_key == "cluster1_hit":
-                        # Cheap proxy broad phase: a bounce ray starts ON
-                        # its previous hit, whose cluster box contains the
-                        # origin — the exact nearest cluster IS that
-                        # cluster for cluster-surface origins (slab entry
-                        # 0).  Global-set origins (the floor) take the
-                        # nearest SUPER's first cluster id (same Morton id
-                        # space, coarser).  The (N, NC) slab becomes an
-                        # (N, NS) one, ~15x cheaper; the miss fold uses
-                        # the super entry t (a lower bound on every
-                        # cluster entry — conservative, still exact).
-                        s_per_h, _ = _tp.super_layout(spec.bvh)
-                        sid, nckey = _tp.nearest_cluster(
-                            o, d, alive, data.sup_planes[:, None, :],
-                            spec.bvh, return_key=True)
-                        nsp_h = data.sup_planes.shape[0]
-                        own = jnp.minimum(
-                            jnp.maximum(prev_tri, 0)
-                            // spec.bvh.cluster_size,
-                            jnp.int32(nc_tot - 1))
-                        is_clu = (prev_tri >= 0) & (
-                            prev_tri < spec.bvh.global_base)
-                        cid = jnp.where(is_clu, own,
-                                        jnp.minimum(sid * s_per_h,
-                                                    jnp.int32(nc_tot - 1)))
-                        cid = jnp.where(sid >= nsp_h, jnp.int32(nc_tot),
-                                        cid)
-                    elif want2:
-                        # second(/third)-nearest cluster ids ride below
-                        # the first (strictly finer grouping: rays sharing
-                        # their first visits pack together)
-                        res = _tp.nearest_cluster(
-                            o, d, alive, data.clu_planes, spec.bvh,
-                            return_key=True,
-                            return_second=2 if want3 else 1)
-                        cid, nckey, cid2 = res[0], res[1], res[2]
-                        cid3 = res[3] if want3 else None
-                    else:
-                        cid, nckey = _tp.nearest_cluster(
-                            o, d, alive, data.clu_planes, spec.bvh,
-                            return_key=True)
-                    if cfg.cluster_miss_fold and spec.bvh.num_global > 0:
-                        # Rays whose NEAREST cluster is entered beyond
-                        # their global-set hit cannot find a closer hit in
-                        # any cluster (triangle t >= cluster entry t) —
-                        # fold them into the NC group: they skip the
-                        # kernel and take the host-side global hit.  One
-                        # chop step of margin covers both keys' truncated
-                        # mantissas.
-                        gk = _tp.global_seed_keys(o, d, alive,
-                                                  data.tri_planes, spec.bvh)
-                        tn_f = jax.lax.bitcast_convert_type(
-                            nckey & ~jnp.int32((1 << 12) - 1), jnp.float32)
-                        g_plus = jax.lax.bitcast_convert_type(
-                            (gk & ~jnp.int32(_tp.IDX_MASK))
-                            + jnp.int32(1 << 9), jnp.float32)
-                        beats = (gk < jnp.int32(_tp._MISS_KEY)) & (
-                            tn_f >= g_plus)
-                        cid = jnp.where(beats, jnp.int32(nc_tot), cid)
-                    # key layout: leading cluster id, cid2/cid3 below it,
-                    # direction cone (2 bits/axis = 64 cones; 3 with
-                    # "cluster1_dir9"; none with "cluster2_nodir"), then
-                    # origin Morton with whatever bits remain (budget
-                    # computed above, before the broad-phase call)
-                    shift = 30 - cbits
-                    key = cid << shift
-                    if c2bits:
-                        shift -= c2bits
-                        key = key | ((cid2 & ((1 << c2bits) - 1)) << shift)
-                    if c3bits:
-                        shift -= c3bits
-                        key = key | ((cid3 & ((1 << c3bits) - 1)) << shift)
-                    if db:
-                        lvl = 1 << (db - 1)
-                        q = jnp.clip(((d + 1.0) * lvl).astype(jnp.int32),
-                                     0, 2 * lvl - 1)
-                        dirq = ((q[:, 0] << (2 * db)) | (q[:, 1] << db)
-                                | q[:, 2])
-                        shift -= 3 * db
-                        key = key | (dirq << shift)
-                    # top mbits Morton bits (m < 2^27: a no-op shift when
-                    # small scenes leave more room than Morton fills)
-                    key = key | (m >> max(0, 27 - mbits))
-                    cluster1_bits = cbits  # miss-fold decodes cid post-sort
-                elif cfg.sort_key == "hybrid":
-                    # coarse origin cell (top 2 Morton bits/axis), then
-                    # direction octant, then fine origin Morton: blocks
-                    # share a region AND a direction cone.
-                    key = (((m >> 21) << 24) | (octant << 21)
-                           | (m & 0x1FFFFF))
-                elif cfg.sort_key in ("dir6", "dir9", "dir6_cluster"):
-                    # finer direction prefix: 2 (dir6) or 3 (dir9) bits per
-                    # axis = 64 / 512 cones, then origin Morton.  dir6
-                    # measured 391 -> 348 ms/sample over the octant key
-                    # once shadow coherence was decoupled (shadow_sort).
-                    bits = 3 if cfg.sort_key == "dir9" else 2
-                    lv = 1 << (bits - 1)
-                    q = jnp.clip(((d + 1.0) * lv).astype(jnp.int32),
-                                 0, 2 * lv - 1)
-                    dirq = ((q[:, 0] << (2 * bits)) | (q[:, 1] << bits)
+                want2 = cfg.sort_key in ("cluster2", "cluster2_nodir",
+                                         "cluster3")
+                want3 = cfg.sort_key == "cluster3"
+                # bit budget first: with many clusters (cbits = 12)
+                # the third id would get 0 key bits — skip its extra
+                # (N, NC) rank pass instead of paying it for nothing
+                # (ADVICE round 3 #2)
+                cbits = max(1, nc_tot.bit_length())
+                db = (3 if cfg.sort_key == "cluster1_dir9"
+                      else 0 if cfg.sort_key == "cluster2_nodir"
+                      else 2)
+                avail = 30 - cbits - 3 * db
+                c2bits = min(cbits, max(0, avail)) if want2 else 0
+                avail -= c2bits
+                c3bits = min(cbits, max(0, avail)) if want3 else 0
+                avail -= c3bits
+                mbits = max(0, avail)
+                want3 = want3 and c3bits > 0
+                use_fused = (cfg.fused_broadphase and not want3
+                             and cfg.sort_key != "cluster1_hit"
+                             and nc_tot <= _tp.BROADPHASE_MAX_CLUSTERS)
+                gk_fused = None
+                if use_fused:
+                    # ONE pallas pass emits the nearest(-2) cluster
+                    # keys AND the global-seed key together (VERDICT
+                    # round 3 #2) — replacing the separate (N, NC)
+                    # slab and (N, G) global XLA passes below.
+                    k1f, k2f, gk_fused = _tp.broadphase_keys(
+                        o, d, alive, data.clu_planes, data.tri_planes,
+                        spec.bvh, want2=want2,
+                        block=cfg.broadphase_block)
+                    nckey = k1f
+                    cid = _tp.decode_cluster_key(k1f, nc_tot)
+                    if want2:
+                        cid2 = _tp.decode_cluster_key(k2f, nc_tot)
+                    cid3 = None
+                elif cfg.sort_key == "cluster1_hit":
+                    # Cheap proxy broad phase: a bounce ray starts ON
+                    # its previous hit, whose cluster box contains the
+                    # origin — the exact nearest cluster IS that
+                    # cluster for cluster-surface origins (slab entry
+                    # 0).  Global-set origins (the floor) take the
+                    # nearest SUPER's first cluster id (same Morton id
+                    # space, coarser).  The (N, NC) slab becomes an
+                    # (N, NS) one, ~15x cheaper; the miss fold uses
+                    # the super entry t (a lower bound on every
+                    # cluster entry — conservative, still exact).
+                    s_per_h, _ = _tp.super_layout(spec.bvh)
+                    sid, nckey = _tp.nearest_cluster(
+                        o, d, alive, data.sup_planes[:, None, :],
+                        spec.bvh, return_key=True)
+                    nsp_h = data.sup_planes.shape[0]
+                    own = jnp.minimum(
+                        jnp.maximum(prev_tri, 0)
+                        // spec.bvh.cluster_size,
+                        jnp.int32(nc_tot - 1))
+                    is_clu = (prev_tri >= 0) & (
+                        prev_tri < spec.bvh.global_base)
+                    cid = jnp.where(is_clu, own,
+                                    jnp.minimum(sid * s_per_h,
+                                                jnp.int32(nc_tot - 1)))
+                    cid = jnp.where(sid >= nsp_h, jnp.int32(nc_tot),
+                                    cid)
+                elif want2:
+                    # second(/third)-nearest cluster ids ride below
+                    # the first (strictly finer grouping: rays sharing
+                    # their first visits pack together)
+                    res = _tp.nearest_cluster(
+                        o, d, alive, data.clu_planes, spec.bvh,
+                        return_key=True,
+                        return_second=2 if want3 else 1)
+                    cid, nckey, cid2 = res[0], res[1], res[2]
+                    cid3 = res[3] if want3 else None
+                else:
+                    cid, nckey = _tp.nearest_cluster(
+                        o, d, alive, data.clu_planes, spec.bvh,
+                        return_key=True)
+                if cfg.cluster_miss_fold and spec.bvh.num_global > 0:
+                    # Rays whose NEAREST cluster is entered beyond
+                    # their global-set hit cannot find a closer hit in
+                    # any cluster (triangle t >= cluster entry t) —
+                    # fold them into the NC group: they skip the
+                    # kernel and take the host-side global hit.  One
+                    # chop step of margin covers both keys' truncated
+                    # mantissas.
+                    gk = (gk_fused if use_fused and gk_fused is not None
+                          else _tp.global_seed_keys(
+                              o, d, alive, data.tri_planes, spec.bvh))
+                    if cfg.carry_seed:
+                        # this SAME per-ray key also seeds the kernel
+                        # and resolves folded rays' hits AFTER the
+                        # sort — carry it as a sort operand (+1 of 16)
+                        # instead of recomputing the full-width
+                        # global pass on the sorted rays (~16 ms at
+                        # 1M; VERDICT round 3 #2).  Bit-identical:
+                        # the sort permutes, values unchanged.
+                        carried_gk = gk
+                    tn_f = jax.lax.bitcast_convert_type(
+                        nckey & ~jnp.int32((1 << 12) - 1), jnp.float32)
+                    # margin: one chop step for the truncated
+                    # mantissas; one more when the key came from the
+                    # fused kernel (its Newton-refined t is within
+                    # 2^-16 of the exact divide — a quarter step;
+                    # the extra step folds strictly fewer rays,
+                    # never wrongly)
+                    g_plus = jax.lax.bitcast_convert_type(
+                        (gk & ~jnp.int32(_tp.IDX_MASK))
+                        + jnp.int32((2 if use_fused else 1) << 9),
+                        jnp.float32)
+                    beats = (gk < jnp.int32(_tp._MISS_KEY)) & (
+                        tn_f >= g_plus)
+                    cid = jnp.where(beats, jnp.int32(nc_tot), cid)
+                # key layout: leading cluster id, cid2/cid3 below it,
+                # direction cone (2 bits/axis = 64 cones; 3 with
+                # "cluster1_dir9"; none with "cluster2_nodir"), then
+                # origin Morton with whatever bits remain (budget
+                # computed above, before the broad-phase call)
+                shift = 30 - cbits
+                key = cid << shift
+                if c2bits:
+                    shift -= c2bits
+                    key = key | ((cid2 & ((1 << c2bits) - 1)) << shift)
+                if c3bits:
+                    shift -= c3bits
+                    key = key | ((cid3 & ((1 << c3bits) - 1)) << shift)
+                if db:
+                    lvl = 1 << (db - 1)
+                    q = jnp.clip(((d + 1.0) * lvl).astype(jnp.int32),
+                                 0, 2 * lvl - 1)
+                    dirq = ((q[:, 0] << (2 * db)) | (q[:, 1] << db)
                             | q[:, 2])
-                    if cfg.sort_key == "dir6_cluster":
-                        # geometry-adaptive origin binning: the BVH leaf
-                        # cluster the ray bounced off (same surface patch)
-                        # outranks the Morton grid cell.  Measured WORSE
-                        # than plain dir6 on dragon (353 vs 334 ms) —
-                        # kept as a knob for differently shaped scenes.
-                        clu_bin = jnp.clip(prev_tri, 0, 2**30) \
-                            // spec.bvh.cluster_size
-                        key = ((dirq << 24) | ((clu_bin & 0x3FF) << 14)
-                               | ((m >> 13) & 0x3FFF))
-                    else:
-                        key = ((dirq << (30 - 3 * bits))
-                               | (m >> (3 * bits - 3)))
-                else:  # "dir_major" — measured 22% over origin-major (r1)
-                    key = (octant << 27) | m
-                key = jnp.where(alive, key, jnp.int32(2**30))
-            else:
-                # Partition only: live rays first, preserving tile order.
-                key = jnp.where(alive, jnp.int32(0), jnp.int32(2**30))
-            # One multi-operand sort carries every per-ray attribute with
-            # the key — measured 8.6x cheaper than argsort + per-array
-            # gathers (TPU gathers are slow; sort networks stream).
-            # ``alive`` rides in the key itself (dead rays sort to the
-            # 2^30 sentinel) instead of as a 16th operand.
-            # Sorted mode uses is_stable=False: every per-ray result is
-            # independent of block membership (tracers are exact per ray)
-            # and radiance returns to its pixel through the carried
-            # ``cur`` slot, so tie order is free and unstable multi-operand
-            # sorts are cheaper.  Partition-only mode keeps is_stable=True:
-            # ALL live keys are equal there, and stability is precisely
-            # what preserves the tile-major coherence that mode exists for.
-            operands = [key, o[:, 0], o[:, 1], o[:, 2],
-                        d[:, 0], d[:, 1], d[:, 2]]
-            if cfg.sort_pack_f16:
-                # throughput + radiance ride as 3 packed f16-pair words
-                # (see RenderConfig.sort_pack_f16) — geometry stays exact
-                operands += [_pack2f16(color[:, 0], color[:, 1]),
-                             _pack2f16(color[:, 2], accum[:, 0]),
-                             _pack2f16(accum[:, 1], accum[:, 2])]
-            else:
-                operands += [color[:, 0], color[:, 1], color[:, 2],
-                             accum[:, 0], accum[:, 1], accum[:, 2]]
-            operands += [idx, cur]
-            s = jax.lax.sort(
-                tuple(operands),
-                dimension=0, is_stable=not cfg.sort_bounces, num_keys=1)
-            o = jnp.stack(s[1:4], axis=1)
-            d = jnp.stack(s[4:7], axis=1)
-            if cfg.sort_pack_f16:
-                c0, c1 = _unpack2f16(s[7])
-                c2, a0 = _unpack2f16(s[8])
-                a1, a2 = _unpack2f16(s[9])
-                color = jnp.stack([c0, c1, c2], axis=1)
-                accum = jnp.stack([a0, a1, a2], axis=1)
-            else:
-                color = jnp.stack(s[7:10], axis=1)
-                accum = jnp.stack(s[10:13], axis=1)
-            idx = s[-2]
-            alive = s[0] < jnp.int32(2**30)
-            cur = s[-1]
-            if (cluster1_bits is not None and cfg.cluster_miss_fold
-                    and tracer_kind == "pallas"):
-                # broad-phase-proved cluster misses: the cluster1 key packs
-                # them contiguously (cid == nc_tot) just below the dead
-                # sentinel, so they form fully-dead traversal tiles once
-                # masked out of the kernel query below
-                known_miss = alive & (
-                    (s[0] >> (30 - cluster1_bits)) == jnp.int32(nc_tot))
+                    shift -= 3 * db
+                    key = key | (dirq << shift)
+                # top mbits Morton bits (m < 2^27: a no-op shift when
+                # small scenes leave more room than Morton fills)
+                key = key | (m >> max(0, 27 - mbits))
+                cluster1_bits = cbits  # miss-fold decodes cid post-sort
+            elif cfg.sort_key == "hybrid":
+                # coarse origin cell (top 2 Morton bits/axis), then
+                # direction octant, then fine origin Morton: blocks
+                # share a region AND a direction cone.
+                key = (((m >> 21) << 24) | (octant << 21)
+                       | (m & 0x1FFFFF))
+            elif cfg.sort_key in ("dir6", "dir9", "dir6_cluster"):
+                # finer direction prefix: 2 (dir6) or 3 (dir9) bits per
+                # axis = 64 / 512 cones, then origin Morton.  dir6
+                # measured 391 -> 348 ms/sample over the octant key
+                # once shadow coherence was decoupled (shadow_sort).
+                bits = 3 if cfg.sort_key == "dir9" else 2
+                lv = 1 << (bits - 1)
+                q = jnp.clip(((d + 1.0) * lv).astype(jnp.int32),
+                             0, 2 * lv - 1)
+                dirq = ((q[:, 0] << (2 * bits)) | (q[:, 1] << bits)
+                        | q[:, 2])
+                if cfg.sort_key == "dir6_cluster":
+                    # geometry-adaptive origin binning: the BVH leaf
+                    # cluster the ray bounced off (same surface patch)
+                    # outranks the Morton grid cell.  Measured WORSE
+                    # than plain dir6 on dragon (353 vs 334 ms) —
+                    # kept as a knob for differently shaped scenes.
+                    clu_bin = jnp.clip(prev_tri, 0, 2**30) \
+                        // spec.bvh.cluster_size
+                    key = ((dirq << 24) | ((clu_bin & 0x3FF) << 14)
+                           | ((m >> 13) & 0x3FFF))
+                else:
+                    key = ((dirq << (30 - 3 * bits))
+                           | (m >> (3 * bits - 3)))
+            else:  # "dir_major" — measured 22% over origin-major (r1)
+                key = (octant << 27) | m
+            key = jnp.where(alive, key, jnp.int32(2**30))
+        else:
+            # Partition only: live rays first, preserving tile order.
+            key = jnp.where(alive, jnp.int32(0), jnp.int32(2**30))
+        # One multi-operand sort carries every per-ray attribute with
+        # the key — measured 8.6x cheaper than argsort + per-array
+        # gathers (TPU gathers are slow; sort networks stream).
+        # ``alive`` rides in the key itself (dead rays sort to the
+        # 2^30 sentinel) instead of as a 16th operand.
+        # Sorted mode uses is_stable=False: every per-ray result is
+        # independent of block membership (tracers are exact per ray)
+        # and radiance returns to its pixel through the carried
+        # ``cur`` slot, so tie order is free and unstable multi-operand
+        # sorts are cheaper.  Partition-only mode keeps is_stable=True:
+        # ALL live keys are equal there, and stability is precisely
+        # what preserves the tile-major coherence that mode exists for.
+        operands = [key, o[:, 0], o[:, 1], o[:, 2],
+                    d[:, 0], d[:, 1], d[:, 2]]
+        if cfg.sort_pack_f16:
+            # throughput + radiance ride as 3 packed f16-pair words
+            # (see RenderConfig.sort_pack_f16) — geometry stays exact
+            operands += [_pack2f16(color[:, 0], color[:, 1]),
+                         _pack2f16(color[:, 2], accum[:, 0]),
+                         _pack2f16(accum[:, 1], accum[:, 2])]
+        else:
+            operands += [color[:, 0], color[:, 1], color[:, 2],
+                         accum[:, 0], accum[:, 1], accum[:, 2]]
+        if carried_gk is not None:
+            operands += [carried_gk]
+        operands += [idx, cur]
+        s = jax.lax.sort(
+            tuple(operands),
+            dimension=0, is_stable=not cfg.sort_bounces, num_keys=1)
+        o = jnp.stack(s[1:4], axis=1)
+        d = jnp.stack(s[4:7], axis=1)
+        if cfg.sort_pack_f16:
+            c0, c1 = _unpack2f16(s[7])
+            c2, a0 = _unpack2f16(s[8])
+            a1, a2 = _unpack2f16(s[9])
+            color = jnp.stack([c0, c1, c2], axis=1)
+            accum = jnp.stack([a0, a1, a2], axis=1)
+        else:
+            color = jnp.stack(s[7:10], axis=1)
+            accum = jnp.stack(s[10:13], axis=1)
+        idx = s[-2]
+        alive = s[0] < jnp.int32(2**30)
+        cur = s[-1]
+        if carried_gk is not None:
+            carried_gk = s[-3]
+        if (cluster1_bits is not None and cfg.cluster_miss_fold
+                and tracer_kind == "pallas"):
+            # broad-phase-proved cluster misses: the cluster1 key packs
+            # them contiguously (cid == nc_tot) just below the dead
+            # sentinel, so they form fully-dead traversal tiles once
+            # masked out of the kernel query below
+            known_miss = alive & (
+                (s[0] >> (30 - cluster1_bits)) == jnp.int32(nc_tot))
+        return (o, d, color, accum, idx, cur, alive, known_miss,
+                carried_gk)
 
-        n_alive = jnp.sum(alive.astype(jnp.int32))
-        closest_count += n_alive
-        if cfg.telemetry:
-            # per-bounce occupancy: live rays entering this bounce
-            tele_stats[f"live_b{bounce}"] = n_alive
+    def bounce_tail(bounce, o, d, color, accum, idx, alive, known_miss,
+                    carried_gk):
+        """Closest hit -> shade -> NEE shadow -> bounce continuation for
+        one bounce — everything after the compaction sort.  Width-
+        agnostic: operates on whatever PREFIX of the per-ray arrays it
+        is given (the live-prefix dispatch in the bounce loop calls it
+        at a static bucket width covering the live rays; suffix lanes
+        are untouched, since masked math never updates dead lanes).
+        Returns the updated per-ray state, the shadow-ray count, and
+        telemetry."""
+        tele: Dict[str, jnp.ndarray] = {}
         # Fully dead tiles (the compacted suffix after a bounce sort,
         # image padding) are skipped inside the pallas kernel from the
         # mask itself at ~zero cost.
@@ -548,11 +626,14 @@ def render_rays(
         if known_miss is not None and spec.bvh.num_global > 0:
             # ONE fused global-set pass serves both the kernel's host seed
             # (folded rays excluded via the INIT sentinel) and the
-            # host-side hits of the folded rays below.
+            # host-side hits of the folded rays below.  With carry_seed
+            # the pass already ran for the sort key's miss fold and its
+            # result rode the sort — no recompute at all.
             from .ops import trace_pallas as _tp
 
-            gkey = _tp.global_seed_keys(o, d, alive, data.tri_planes,
-                                        spec.bvh)
+            gkey = (carried_gk if carried_gk is not None
+                    else _tp.global_seed_keys(o, d, alive, data.tri_planes,
+                                              spec.bvh))
         hit = closest_fn(
             o, d, alive if known_miss is None else alive & ~known_miss,
             block=pblock if bounce == 0 else None,
@@ -562,7 +643,7 @@ def render_rays(
             seed=(jnp.where(known_miss, jnp.int32(_tp._INIT_KEY), gkey)
                   if gkey is not None and cfg.host_seed else None))
         if cfg.telemetry and tracer_kind == "pallas":
-            hit, tele_stats[f"visits_b{bounce}"] = hit
+            hit, tele[f"visits_b{bounce}"] = hit
         if gkey is not None:
             # Global-set hits of the folded rays: same chopped-t packing
             # the kernel would have returned (exact t is recomputed from
@@ -685,9 +766,6 @@ def render_rays(
 
         do_shadow = alive & (jnp.linalg.norm(lcolor, axis=-1) > 1e-4)  # :341
         n_shadow = jnp.sum(do_shadow.astype(jnp.int32))
-        shadow_count += n_shadow
-        if cfg.telemetry:
-            tele_stats[f"shadow_b{bounce}"] = n_shadow
         shadow_o = pos + ns * 1e-3  # :350
         sdist = ls.distance - 1e-3
         # Host-side global-set occlusion (pallas + cfg.host_seed): rays
@@ -696,13 +774,41 @@ def render_rays(
         # into fully-dead tiles the kernel skips at ~zero cost.  They
         # still count as traced shadow rays (the test happened, host-side
         # — same accounting as the former in-kernel seed).
+        sk1 = sk2 = socc = None
+        if tracer_kind == "pallas" and data.clu_planes is not None:
+            # Fused shadow broad phase (cfg.fused_broadphase): the shadow
+            # sort's (N, NC) segment slab and the global-set occlusion in
+            # ONE pallas pass (VERDICT round 3 #2); the separate XLA
+            # passes below remain for the non-default key shapes.  The
+            # slab runs under the do_shadow mask instead of the narrower
+            # kernel_shadow — immaterial: globally-occluded rays are
+            # masked out of both the segment fold and the shadow key
+            # downstream either way.
+            from .ops import trace_pallas as _tp
+
+            nc_tot_sf = data.clu_planes.shape[0] * data.clu_planes.shape[1]
+            want_skey = (cfg.shadow_sort and cfg.compaction
+                         and (bounce > 0 or cfg.shadow_sort_primary)
+                         and cfg.sort_key.startswith("cluster")
+                         and nc_tot_sf <= 4095
+                         and not cfg.shadow_hit_key)
+            want_gocc = cfg.host_seed and spec.bvh.num_global > 0
+            if (cfg.fused_broadphase and (want_skey or want_gocc)
+                    and nc_tot_sf <= _tp.BROADPHASE_MAX_CLUSTERS):
+                sk1, sk2, socc = _tp.broadphase_keys(
+                    shadow_o, ls.direction, do_shadow, data.clu_planes,
+                    data.tri_planes, spec.bvh, max_t=sdist,
+                    want2=cfg.shadow_key2 and want_skey,
+                    with_clusters=want_skey, any_mode=True,
+                    block=cfg.broadphase_block)
         if (tracer_kind == "pallas" and cfg.host_seed
                 and spec.bvh.num_global > 0):
             from .ops import trace_pallas as _tp
 
-            g_occ = _tp.global_any_hit(shadow_o, ls.direction, sdist,
-                                       do_shadow, data.tri_planes,
-                                       spec.bvh)
+            g_occ = (socc > 0 if socc is not None
+                     else _tp.global_any_hit(shadow_o, ls.direction, sdist,
+                                             do_shadow, data.tri_planes,
+                                             spec.bvh))
             kernel_shadow = do_shadow & ~g_occ
         else:
             g_occ = jnp.zeros_like(do_shadow)
@@ -763,7 +869,12 @@ def render_rays(
                             sid < data.sup_planes.shape[0])
                 else:
                     scid2 = None
-                    if cfg.shadow_key2:
+                    if sk1 is not None:
+                        # fused pass already ran above
+                        scid = _tp.decode_cluster_key(sk1, nc_tot_s)
+                        if cfg.shadow_key2:
+                            scid2 = _tp.decode_cluster_key(sk2, nc_tot_s)
+                    elif cfg.shadow_key2:
                         # second-nearest cluster id below the first, the
                         # shadow-side mirror of the cluster2 bounce key
                         scid, scid2 = _tp.nearest_cluster(
@@ -792,7 +903,7 @@ def render_rays(
                 mm = m if shift >= 27 else (m >> (27 - shift))
                 skey = (light_idx << shift) | mm
             skey = jnp.where(kernel_shadow, skey, jnp.int32(2**30))
-            slot = jnp.arange(p, dtype=jnp.int32)
+            slot = jnp.arange(alive.shape[0], dtype=jnp.int32)
             ss = jax.lax.sort(
                 (skey, shadow_o[:, 0], shadow_o[:, 1], shadow_o[:, 2],
                  ls.direction[:, 0], ls.direction[:, 1], ls.direction[:, 2],
@@ -802,7 +913,7 @@ def render_rays(
                          jnp.stack(ss[4:7], axis=1), ss[7],
                          ss[0] < jnp.int32(2**30), block=sblock)
             if cfg.telemetry and tracer_kind == "pallas":
-                res, tele_stats[f"shadow_visits_b{bounce}"] = res
+                res, tele[f"shadow_visits_b{bounce}"] = res
             # un-permute through a second sort on the carried slot (18x
             # cheaper than a scatter); the 1-bit occlusion result rides in
             # the low bit below the (unique) slot — a single-operand sort
@@ -813,7 +924,7 @@ def render_rays(
             occluded = any_fn(shadow_o, ls.direction, sdist, kernel_shadow,
                               block=pblock if bounce == 0 else None)
             if cfg.telemetry and tracer_kind == "pallas":
-                occluded, tele_stats[f"shadow_visits_b{bounce}"] = occluded
+                occluded, tele[f"shadow_visits_b{bounce}"] = occluded
         visible = do_shadow & ~occluded & ~g_occ
         if cfg.enable_refraction:
             # Dielectric extension (the reference's own declared next
@@ -923,6 +1034,144 @@ def render_rays(
             o = pos + off_n * 1e-3
         else:
             o = pos + ns * 1e-3
+        return o, d, color, accum, alive, prev_tri, n_shadow, tele
+
+    live_bound = None  # live-prefix length after the last sort
+    sort_presence = [None]  # (known_miss?, carried_gk?) statics
+    for bounce in range(cfg.max_bounces):
+        # set per bounce by the cluster1 sort: live rays whose broad phase
+        # proved they cannot hit any CLUSTER (only sky / the global set)
+        known_miss = None
+        carried_gk = None
+        if (cfg.compaction and bounce > 0
+                and (cfg.sort_last_bounce
+                     or bounce < cfg.max_bounces - 1)):
+            sort_widths = _bucket_widths(p, pad_to, cfg.live_widths)
+            if (bounce >= 2 and live_bound is not None
+                    and sort_presence[0] is not None
+                    and not cfg.telemetry and len(sort_widths) > 1):
+                # keys + compaction sort at the PREVIOUS bounce's live-
+                # prefix bucket (VERDICT round 3 #1): both broad-phase
+                # key passes and the 16-operand sort shrink with
+                # occupancy; the suffix is all-dead and passes through.
+                from .ops import trace_pallas as _tp
+
+                has_km_s, has_cg_s = sort_presence[0]
+
+                def mks(w):
+                    def branch(o, d, color, accum, idx, cur, alive,
+                               prev_tri):
+                        (oo, dd, cc, aa, ii, uu, al, km,
+                         cg) = bounce_sort(bounce, o[:w], d[:w], color[:w],
+                                           accum[:w], idx[:w], cur[:w],
+                                           alive[:w], prev_tri[:w])
+                        assert (km is not None) == has_km_s
+                        assert (cg is not None) == has_cg_s
+
+                        def cat(x, full):
+                            if w == p:
+                                return x
+                            return jnp.concatenate([x, full[w:]], axis=0)
+
+                        res = (cat(oo, o), cat(dd, d), cat(cc, color),
+                               cat(aa, accum), cat(ii, idx), cat(uu, cur),
+                               cat(al, alive))
+                        if has_km_s:
+                            res += ((km if w == p else jnp.concatenate(
+                                [km, jnp.zeros((p - w,), bool)])),)
+                        if has_cg_s:
+                            res += ((cg if w == p else jnp.concatenate(
+                                [cg, jnp.full((p - w,), _tp._INIT_KEY,
+                                              jnp.int32)])),)
+                        return res
+                    return branch
+
+                bi = jnp.int32(0)
+                for wj in sort_widths[:-1]:
+                    bi = bi + (live_bound > wj).astype(jnp.int32)
+                out = jax.lax.switch(
+                    bi, [mks(w) for w in sort_widths],
+                    o, d, color, accum, idx, cur, alive, prev_tri)
+                o, d, color, accum, idx, cur, alive = out[:7]
+                j = 7
+                if has_km_s:
+                    known_miss = out[j]
+                    j += 1
+                if has_cg_s:
+                    carried_gk = out[j]
+            else:
+                (o, d, color, accum, idx, cur, alive, known_miss,
+                 carried_gk) = bounce_sort(bounce, o, d, color, accum,
+                                           idx, cur, alive, prev_tri)
+                sort_presence[0] = (known_miss is not None,
+                                    carried_gk is not None)
+
+        n_alive = jnp.sum(alive.astype(jnp.int32))
+        closest_count += n_alive
+        sorted_this = (cfg.compaction and bounce > 0 and cfg.sort_bounces
+                       and (cfg.sort_last_bounce
+                            or bounce < cfg.max_bounces - 1))
+        if sorted_this:
+            # live rays are now a contiguous prefix of this length; the
+            # NEXT bounce's sort may run at its bucket (alive only
+            # shrinks between sorts)
+            live_bound = n_alive
+        if cfg.telemetry:
+            # per-bounce occupancy: live rays entering this bounce
+            tele_stats[f"live_b{bounce}"] = n_alive
+        # ---- bounce tail at the live-prefix width (VERDICT round 3 #1).
+        # After this bounce's compaction sort the live rays are a
+        # contiguous prefix of traced length n_alive; lax.switch picks
+        # the smallest static bucket width covering them, so every
+        # post-sort stage (kernel grid, shade-row gather, Halton, light
+        # sampling, the shadow re-sort pair) runs proportional to LIVE
+        # occupancy instead of the padded lane count.  Suffix lanes pass
+        # through untouched; identical image up to ~1-ulp per-width XLA
+        # codegen rounding (see RenderConfig.live_widths).
+        sorted_now = (cfg.compaction and bounce > 0 and cfg.sort_bounces
+                      and (cfg.sort_last_bounce
+                           or bounce < cfg.max_bounces - 1))
+        widths = _bucket_widths(p, pad_to, cfg.live_widths)
+        if (sorted_now and not cfg.telemetry and len(widths) > 1
+                and bounce >= cfg.live_from_bounce):
+            opt = [a for a in (known_miss, carried_gk) if a is not None]
+            has_km = known_miss is not None
+            has_cg = carried_gk is not None
+
+            def mk(w):
+                def branch(o, d, color, accum, idx, alive, prev_tri,
+                           *opt_a):
+                    km = opt_a[0][:w] if has_km else None
+                    cg = opt_a[-1][:w] if has_cg else None
+                    oo, dd, cc, aa, al, pt, nsh, _ = bounce_tail(
+                        bounce, o[:w], d[:w], color[:w], accum[:w],
+                        idx[:w], alive[:w], km, cg)
+                    if w == p:
+                        return oo, dd, cc, aa, al, pt, nsh
+
+                    def cat(x, full):
+                        return jnp.concatenate([x, full[w:]], axis=0)
+
+                    return (cat(oo, o), cat(dd, d), cat(cc, color),
+                            cat(aa, accum), cat(al, alive),
+                            cat(pt, prev_tri), nsh)
+                return branch
+
+            bi = jnp.int32(0)
+            for wj in widths[:-1]:
+                bi = bi + (n_alive > wj).astype(jnp.int32)
+            (o, d, color, accum, alive, prev_tri,
+             n_shadow) = jax.lax.switch(
+                bi, [mk(w) for w in widths],
+                o, d, color, accum, idx, alive, prev_tri, *opt)
+        else:
+            (o, d, color, accum, alive, prev_tri, n_shadow,
+             tele) = bounce_tail(bounce, o, d, color, accum, idx, alive,
+                                 known_miss, carried_gk)
+            tele_stats.update(tele)
+        shadow_count += n_shadow
+        if cfg.telemetry:
+            tele_stats[f"shadow_b{bounce}"] = n_shadow
 
     stats = {"closest_rays": closest_count, "shadow_rays": shadow_count,
              **tele_stats}

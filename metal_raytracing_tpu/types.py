@@ -359,6 +359,65 @@ class RenderConfig:
     # 8.25 -> 5.65, p50 5 -> 2 — rays sharing their first TWO traversal
     # visits pack together.
     sort_key: str = "cluster2"
+    # Fused Pallas broad phase (pallas tracer only): compute the
+    # (N, NC) nearest-cluster slab key(s) AND the global-set seed /
+    # occlusion in ONE kernel pass per ray set, replacing the 2-3
+    # separate XLA passes per bounce (~19.7 + 15.9 ms each per 1M rays,
+    # ~4x off the VPU ALU floor the kernel approaches).  Used for the
+    # bounce sort key + miss fold, the shadow sort key + global
+    # occlusion, and (with_clusters=False) the primary seed.  The
+    # global-seed t comes from a Newton-refined reciprocal instead of
+    # an exact divide — within 2^-16, inside every consumer's 2^-14
+    # chop margin; winner indices match the XLA form.
+    # MEASURED NEGATIVE on dragon 1024^2 (sweep_r4a/b): pipeline 213 vs
+    # 192 ms/sample, and standalone the kernel LOSES to the XLA passes
+    # it replaces (global-only 19.1 vs 9.9 ms; closest2+global 20.6 vs
+    # 24.3 at best) — per-tile kernel machinery (transposes, masking,
+    # output staging) exceeds the XLA forms' cost, which fuse into
+    # neighboring elementwise work nearly for free in-pipeline.  Kept as
+    # a knob; round-3's standalone XLA pass costs (19.7/15.9 ms) were
+    # measurement artifacts of their jit boundaries.
+    fused_broadphase: bool = False
+    # Ray block for the fused broad-phase kernel (no divergence — all
+    # rays do identical dense work, so bigger blocks amortize fixed
+    # per-tile cost; VMEM intermediates scale with block * clusters).
+    broadphase_block: int = 256
+    # Live-prefix bucket count for the post-sort bounce stages.  After a
+    # bounce compaction sort the live rays are a contiguous prefix of
+    # known (traced) length; the renderer dispatches the whole bounce
+    # tail (closest kernel, shade-row gather, Halton dims, light
+    # sampling, the shadow re-sort pair, bounce continuation) through a
+    # lax.switch over ~live_widths static prefix widths, so per-lane
+    # work scales with OCCUPANCY instead of the padded ray count —
+    # the analog of the early `break` the reference's megakernel gets
+    # per thread for free (reference: Raytracing.metal:246-247).
+    # Identical image to float rounding: suffix lanes are all dead and
+    # pass through untouched; the only deltas are ~1-ulp FMA/fusion
+    # differences from per-width XLA codegen (measured ~4e-8 max abs,
+    # far inside every parity gate).  <= 1 disables.  Compile cost
+    # scales with the bucket count (each bucket compiles the tail once).
+    # MEASURED NEGATIVE on dragon 1024^2 (sweep_r4a/b): +16-21 ms even
+    # when restricted to bounce 2 (lw4_fromb2 200.0 vs anchor 186.3) —
+    # each lax.switch is a fusion/scheduling barrier costing ~7 ms,
+    # more than the dead-lane work it skips (the round-3 "conds cost
+    # more than dense work" lesson at pipeline scale).  Off by default;
+    # revisit only for scenes with far lower bounce occupancy.
+    live_widths: int = 1
+    # First bounce the live-prefix dispatch applies to (earlier bounces
+    # run the plain full-width tail).  Scenes whose primary rays all hit
+    # geometry (dragon/coatball: live_b1 = 1.0) pay switch overhead at
+    # bounce 1 for no dead lanes; 2 skips them.
+    live_from_bounce: int = 1
+    # Carry the per-ray global-seed key through the bounce compaction
+    # sort as one extra operand instead of recomputing the full-width
+    # global-set pass on the sorted rays (the key is permutation-
+    # invariant, so this is bit-identical).  On paper saves one global
+    # pass per sorted bounce for ~1 sort operand — MEASURED NEGATIVE on
+    # dragon 1024^2 (196.0/194.1 vs 192.0/186.3 anchors, sweep_r4a/b):
+    # the recomputed global pass fuses into its consumers nearly for
+    # free, while the extra 1M-row sort operand is a real cost.  Off by
+    # default; knob kept for documentation.
+    carry_seed: bool = False
     # With sort_key="cluster1": rays whose broad phase finds NO cluster
     # overlap (sky rays, or rays that can only hit the scene-spanning
     # global set) are masked out of the closest-hit kernel — the cluster1
@@ -366,6 +425,13 @@ class RenderConfig:
     # global-set hits are resolved host-side from the same fused pass the
     # host seed uses.  Identity transform; knob exists for A/B.
     cluster_miss_fold: bool = True
+    # Visit shadow candidates nearest the SEGMENT MIDDLE first instead
+    # of nearest the origin (any-hit is order-independent, so the image
+    # is bit-identical).  Real occluders sit between the surface and the
+    # light; entry order wastes early visits on boxes hugging the
+    # origin.  Aims at the bounce-2 shadow exhaustion tail
+    # (shadow_visits_mean_by_bounce[2] = 14.57; VERDICT round 3 #4).
+    shadow_mid_order: bool = False
     # Re-sort bounce-shadow rays by (light index, hit-point Morton) before
     # the occlusion pass: a shadow ray's direction is determined by its
     # origin (it points at the sampled light), so one origin key buys both

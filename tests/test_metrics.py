@@ -20,7 +20,9 @@ def _cfg(**kw):
 def test_benchmark_renderer_counts():
     r = Renderer(plane_sphere_scene(32, 32), _cfg())
     res = benchmark_renderer(r, samples=2, warmup=1)
-    assert res.samples == 2
+    # a step folds samples_per_dispatch samples (auto-batched for small
+    # scenes); BenchResult counts TRUE samples so per-sample figures hold
+    assert res.samples == 2 * r.samples_per_dispatch
     assert res.rays > 0
     assert res.seconds > 0
     assert res.mrays_per_sec > 0

@@ -137,3 +137,51 @@ def test_count_visits_compiled(built):
     v = np.asarray(vis)
     assert v.shape == (1,)
     assert 0 < v[0] <= spec.bvh.num_clusters
+
+
+@pytest.mark.parametrize("any_mode", [False, True])
+def test_broadphase_compiled(built, any_mode):
+    """Fused broad-phase kernel on real Mosaic vs the XLA reference
+    forms: nearest-cluster packed keys exact; global occlusion exact;
+    global-seed winner index exact with t within the Newton tolerance."""
+    data, spec = built
+    o, d = _rays(512, seed=31)
+    mask = jnp.ones((512,), bool)
+    ncp = data.clu_planes.shape[0] * data.clu_planes.shape[1]
+    if ncp > TP.BROADPHASE_MAX_CLUSTERS:
+        pytest.skip("cluster count past the broadphase ceiling")
+    if any_mode:
+        maxt = jnp.full((512,), 4.0, jnp.float32)
+        k1, _, g = TP.broadphase_keys(o, d, mask, data.clu_planes,
+                                      data.tri_planes, spec.bvh,
+                                      max_t=maxt, any_mode=True, block=128)
+        cid_ref = TP.nearest_cluster(o, d, mask, data.clu_planes, spec.bvh,
+                                     max_t=maxt)
+        occ_ref = TP.global_any_hit(o, d, maxt, mask, data.tri_planes,
+                                    spec.bvh)
+        cid = TP.decode_cluster_key(k1, ncp)
+        # near-tie chop boundaries may flip under fused-multiply-add
+        # contraction differences on real hardware — sort-key-only, so
+        # tolerate a vanishing fraction
+        assert float(np.mean(np.asarray(cid == cid_ref))) > 0.999
+        np.testing.assert_array_equal(np.asarray(g > 0), np.asarray(occ_ref))
+    else:
+        k1, k2, g = TP.broadphase_keys(o, d, mask, data.clu_planes,
+                                       data.tri_planes, spec.bvh,
+                                       want2=True, block=128)
+        cid_ref, key_ref, cid2_ref = TP.nearest_cluster(
+            o, d, mask, data.clu_planes, spec.bvh, return_key=True,
+            return_second=1)
+        cid = TP.decode_cluster_key(k1, ncp)
+        cid2 = TP.decode_cluster_key(k2, ncp)
+        assert float(np.mean(np.asarray(cid == cid_ref))) > 0.999
+        assert float(np.mean(np.asarray(cid2 == cid2_ref))) > 0.999
+        gk_ref = TP.global_seed_keys(o, d, mask, data.tri_planes, spec.bvh)
+        g_np, ref_np = np.asarray(g), np.asarray(gk_ref)
+        miss = g_np == TP._INIT_KEY
+        np.testing.assert_array_equal(miss, ref_np == TP._INIT_KEY)
+        np.testing.assert_array_equal(g_np[~miss] & TP.IDX_MASK,
+                                      ref_np[~miss] & TP.IDX_MASK)
+        gt = np.asarray(TP._key_to_t(g))[~miss]
+        gt_ref = np.asarray(TP._key_to_t(gk_ref))[~miss]
+        np.testing.assert_allclose(gt, gt_ref, rtol=1e-4)
