@@ -66,6 +66,8 @@ _ANCHOR_OVERRIDES = dict(
     carry_seed=False,
     fused_broadphase=False,
     shadow_mid_order=False,
+    shadow_ray_block_last=0,
+    sort_primary=False,
 )
 
 

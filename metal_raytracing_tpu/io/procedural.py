@@ -302,7 +302,11 @@ def _coatball() -> LoadedModel:
     # Stand-in for Resources/coatball/coatball.obj: glossy ball on a base.
     coat = Material(base_color=(0.9, 0.55, 0.1), specular=(0.9, 0.9, 0.9),
                     specular_exponent=200.0, name="coat")
-    base = Material(base_color=(0.2, 0.2, 0.22), name="base")
+    # The base glows faintly: inert in the reference-parity path (emission
+    # is only shaded under enable_emission) but gives the extension golden
+    # (tests/test_golden.py, VERDICT round 3 #8) a real Ke to lock.
+    base = Material(base_color=(0.2, 0.2, 0.22),
+                    emission=(0.25, 0.1, 0.05), name="base")
     ball_p, ball_t = _uv_sphere(80, 80, 0.5)
     ball_p[:, 1] += 0.62
     base_p, base_t = _cylinder((0, 0, 0), 0.45, 0.12, segments=32)

@@ -49,6 +49,19 @@ from .types import RenderConfig
 __all__ = ["render_sample", "render_rays", "pixel_coords", "accumulate",
            "Renderer", "make_pixel_offsets"]
 
+# Marginal-cost probes (benchmarks monkeypatch this, like
+# trace_pallas.ABLATE).  Each entry ADDS one redundant copy of a pipeline
+# component and folds its result into the image at 1e-30 weight, so the
+# variant's delta vs the same-process anchor prices that component's TRUE
+# in-pipeline marginal cost — standalone jit measurements overstate
+# components that fuse into neighbors (round-4 fused_broadphase lesson),
+# and REMOVING a component changes ray distributions and thus traversal
+# cost.  Entries: "shade_extra" (one more 20-wide shade-row gather per
+# bounce), "halton_extra" (5 more Halton dims per bounce), "bp_extra"
+# (one more exact (N, NC) nearest-cluster pass per bounce), "sort_extra"
+# (one more 15-operand compaction sort per bounce).
+ABLATE_EXTRA: frozenset = frozenset()
+
 
 def make_pixel_offsets(cfg: RenderConfig) -> jnp.ndarray:
     """Per-pixel Halton index offsets, (H*W,) int32 in [0, 2^bits) — the
@@ -300,11 +313,13 @@ def render_rays(
     block = cfg.ray_block
     pblock = cfg.primary_ray_block or block
     sblock = cfg.shadow_ray_block or block
+    sblock_last = cfg.shadow_ray_block_last or sblock
     # rays padded to a common multiple of ALL block sizes
     import math
 
     pad_to = block * pblock // math.gcd(block, pblock)
     pad_to = pad_to * sblock // math.gcd(pad_to, sblock)
+    pad_to = pad_to * sblock_last // math.gcd(pad_to, sblock_last)
     p = -(-n // pad_to) * pad_to
     lcount = spec.light_count
 
@@ -597,6 +612,13 @@ def render_rays(
         cur = s[-1]
         if carried_gk is not None:
             carried_gk = s[-3]
+        if "sort_extra" in ABLATE_EXTRA:
+            # one more 15-operand compaction sort, identical operand mix
+            # (key perturbed so nothing CSEs with the real sort)
+            s2 = jax.lax.sort(
+                tuple([operands[0] ^ jnp.int32(1)] + list(operands[1:])),
+                dimension=0, is_stable=not cfg.sort_bounces, num_keys=1)
+            accum = accum + s2[1][:, None] * 1e-30
         if (cluster1_bits is not None and cfg.cluster_miss_fold
                 and tracer_kind == "pallas"):
             # broad-phase-proved cluster misses: the cluster1 key packs
@@ -673,6 +695,27 @@ def render_rays(
         # albedo, and material id together (separate gathers would each pay
         # the TPU per-index gather cost).
         row = data.shade_table[tri]
+        if "shade_extra" in ABLATE_EXTRA:
+            # one more full-width 20-wide row gather (indices perturbed so
+            # it cannot CSE with the real gather)
+            xrow = data.shade_table[
+                jnp.minimum(tri + 1, data.shade_table.shape[0] - 1)]
+            accum = accum + xrow[:, 12:15] * 1e-30
+        if "halton_extra" in ABLATE_EXTRA:
+            # 5 more Halton dims (past every real dimension in the
+            # schedule, so the sequence semantics stay untouched)
+            hx = sum(sampling.halton(idx, 64 + 5 * bounce + j)
+                     for j in range(5))
+            accum = accum + hx[:, None] * 1e-30
+        if ("bp_extra" in ABLATE_EXTRA and tracer_kind == "pallas"
+                and data.clu_planes is not None):
+            # one more exact (N, NC) nearest-cluster broad phase on this
+            # bounce's (post-sort) rays
+            from .ops import trace_pallas as _tp
+
+            xcid = _tp.nearest_cluster(o, d, alive, data.clu_planes,
+                                       spec.bvh)
+            accum = accum + xcid.astype(jnp.float32)[:, None] * 1e-30
         if tracer_kind == "pallas":
             # The pallas kernel's packed key chops t to <= 512 ulp (2^-14
             # relative) — enough to eat into the absolute 1e-3 shadow offset
@@ -911,7 +954,10 @@ def render_rays(
                 dimension=0, is_stable=False, num_keys=1)
             res = any_fn(jnp.stack(ss[1:4], axis=1),
                          jnp.stack(ss[4:7], axis=1), ss[7],
-                         ss[0] < jnp.int32(2**30), block=sblock)
+                         ss[0] < jnp.int32(2**30),
+                         block=(sblock_last
+                                if bounce == cfg.max_bounces - 1
+                                else sblock))
             if cfg.telemetry and tracer_kind == "pallas":
                 res, tele[f"shadow_visits_b{bounce}"] = res
             # un-permute through a second sort on the carried slot (18x
@@ -1043,7 +1089,7 @@ def render_rays(
         # proved they cannot hit any CLUSTER (only sky / the global set)
         known_miss = None
         carried_gk = None
-        if (cfg.compaction and bounce > 0
+        if (cfg.compaction and (bounce > 0 or cfg.sort_primary)
                 and (cfg.sort_last_bounce
                      or bounce < cfg.max_bounces - 1)):
             sort_widths = _bucket_widths(p, pad_to, cfg.live_widths)
@@ -1108,7 +1154,9 @@ def render_rays(
 
         n_alive = jnp.sum(alive.astype(jnp.int32))
         closest_count += n_alive
-        sorted_this = (cfg.compaction and bounce > 0 and cfg.sort_bounces
+        sorted_this = (cfg.compaction
+                       and (bounce > 0 or cfg.sort_primary)
+                       and cfg.sort_bounces
                        and (cfg.sort_last_bounce
                             or bounce < cfg.max_bounces - 1))
         if sorted_this:
@@ -1128,7 +1176,9 @@ def render_rays(
         # occupancy instead of the padded lane count.  Suffix lanes pass
         # through untouched; identical image up to ~1-ulp per-width XLA
         # codegen rounding (see RenderConfig.live_widths).
-        sorted_now = (cfg.compaction and bounce > 0 and cfg.sort_bounces
+        sorted_now = (cfg.compaction
+                      and (bounce > 0 or cfg.sort_primary)
+                      and cfg.sort_bounces
                       and (cfg.sort_last_bounce
                            or bounce < cfg.max_bounces - 1))
         widths = _bucket_widths(p, pad_to, cfg.live_widths)

@@ -314,6 +314,14 @@ class RenderConfig:
     # primaries do.  512 measured 253.4 vs 262.3 ms/sample on dragon
     # 1024^2 (256 was neutral-negative).  None = ray_block.
     shadow_ray_block: Optional[int] = 512
+    # Override for the LAST bounce's shadow pass only (0 = use
+    # shadow_ray_block).  The bounce-2 shadow pass is the exhaustion tail
+    # (visits mean 14.57 at block 512 — unoccluded rays must visit every
+    # candidate): a 512-ray block's visit set is the UNION over 512
+    # divergent segments, so a smaller block may cut live-tile dense work
+    # there even though it pays more fixed cost on the (many) zero-visit
+    # tiles.
+    shadow_ray_block_last: int = 0
     # Wavefront compaction: permute rays so live rays pack into full
     # traversal blocks between bounces (the realized version of the
     # reference's dead bitonic-sort divergence experiment,
@@ -323,7 +331,18 @@ class RenderConfig:
     # octant so traversal blocks stay spatially coherent after the first
     # bounce (costs one argsort per bounce; identical image).
     sort_bounces: bool = True
-    # Skip the compaction sort before the FINAL bounce: the last bounce's
+    # Compaction-sort the PRIMARY (bounce-0) rays too.  Pixel-tile order
+    # is already spatially coherent, but the cluster sort key buys two
+    # things tile order cannot: (a) blocks share their first traversal
+    # visit exactly instead of approximately, shrinking the per-block
+    # UNION visit set the (large) primary blocks pay for, and (b) the
+    # known-miss fold compacts rays whose broad phase proves they can
+    # only hit the scene-spanning global set (the FLOOR — the majority
+    # surface on the headline scene; primary visits p50 = 0) into fully
+    # dead blocks the kernel skips at ~zero cost, instead of carrying
+    # them as zero-visit lanes inside live blocks.  Costs one extra
+    # 15-operand compaction sort + key pass at bounce 0.
+    sort_primary: bool = False
     # rays inherit the previous bounce's (still mostly coherent) order,
     # trading some traversal coherence for one fewer 15-operand 1M-row
     # sort (~18 ms) + key compute.  Identical image (the sort is a pure

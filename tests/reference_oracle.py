@@ -166,6 +166,7 @@ def render_reference(
     frame_index: int = 0,
     bounces: int = 3,
     batch: int = 64,
+    extensions: dict = None,
 ) -> np.ndarray:
     """Render one sample; returns (H, W, 3) float radiance.
 
@@ -175,7 +176,39 @@ def render_reference(
     cone_angle/direction.  ``camera``: {position, right, up, forward} with
     right/up pre-scaled by the image-plane half extents
     (reference: Scene.swift:40-57).
+
+    ``extensions`` (optional) re-derives the package's beyond-reference
+    shading extensions (RenderConfig.enable_emission / enable_specular /
+    enable_textures — the reference's own declared TODOs, reference
+    README.md:8) so extension-scene goldens come from this independent
+    oracle too (VERDICT round 3 #8).  Keys, all optional:
+      material_id (T,) int       — required by the material-keyed entries
+      emission (M, 3)            — adds accum += throughput * Ke on hit
+      specular (M, 3) + shininess (M,)
+                                 — per-ray lobe choice between the cosine
+                                   diffuse lobe and a Phong lobe around
+                                   the mirror direction, energy-weighted
+                                   by max(Ks)/(max(Kd)+max(Ks)); the
+                                   lobe-choice Halton dimension sits at
+                                   2 + 5*bounces + bounce, past the
+                                   reference schedule
+      uvc (T, 3, 2) + tex_images (list of (Hm, Wm, 3) or None per
+      material)                  — nearest-sample base-color modulation
+                                   with wrap UV addressing, bottom-left
+                                   origin (flip v), edge-clamped texels
     """
+    ext = extensions or {}
+    mid_t = (np.asarray(ext["material_id"], np.int64)
+             if "material_id" in ext else None)
+    emission = (np.asarray(ext["emission"], np.float64)
+                if "emission" in ext else None)
+    spec_ks = (np.asarray(ext["specular"], np.float64)
+               if "specular" in ext else None)
+    spec_ns = (np.asarray(ext["shininess"], np.float64)
+               if "shininess" in ext else None)
+    uvc = np.asarray(ext["uvc"], np.float64) if "uvc" in ext else None
+    tex_images = ext.get("tex_images")
+
     tracer = _Tracer(tris["v0"], tris["e1"], tris["e2"])
     n0 = np.asarray(tris["n0"], np.float64)
     n1 = np.asarray(tris["n1"], np.float64)
@@ -224,6 +257,39 @@ def render_reference(
             normal = _normalize(w * n0[tri] + u[:, None] * n1[tri]
                                 + v[:, None] * n2[tri])
             surface = kd[tri]
+            mid = mid_t[tri] if mid_t is not None else None
+
+            if uvc is not None and tex_images is not None:
+                # Texture extension: uv interpolated with the SAME
+                # barycentric weights as the normals (u pairs with corner
+                # 1, v with corner 2), wrap addressing via frac, nearest
+                # texel with OBJ's bottom-left origin (flip v), texel
+                # index edge-clamped — matching
+                # renderer.bounce_tail's nearest filter.
+                uv_hit = (w * uvc[tri, 0] + u[:, None] * uvc[tri, 1]
+                          + v[:, None] * uvc[tri, 2])
+                fu = uv_hit[:, 0] - np.floor(uv_hit[:, 0])
+                fv = uv_hit[:, 1] - np.floor(uv_hit[:, 1])
+                texel = np.ones((b, 3))
+                for mk, im in enumerate(tex_images):
+                    if im is None:
+                        continue
+                    sel = mid == mk
+                    if not sel.any():
+                        continue
+                    hm, wm = im.shape[0], im.shape[1]
+                    xi = np.clip((fu[sel] * wm).astype(np.int64), 0, wm - 1)
+                    yi = np.clip(((1.0 - fv[sel]) * hm).astype(np.int64),
+                                 0, hm - 1)
+                    texel[sel] = np.asarray(im, np.float64)[yi, xi]
+                surface = surface * texel
+
+            if emission is not None:
+                # Emission extension: throughput * Ke BEFORE this
+                # vertex's surface color is absorbed (renderer applies
+                # emission to the incoming ``color``).
+                accum += np.where(alive[:, None],
+                                  color * emission[mid], 0.0)
 
             # Pick one light uniformly, Halton dim 2+5b+0
             # (reference: Raytracing.metal:272-275).
@@ -243,7 +309,10 @@ def render_reference(
             # N.L saturate + lightCount compensation (reference: :331-335).
             lcol = (lcol * _saturate(np.sum(normal * ldir, axis=1))[:, None]
                     * n_lights)
-            # Throughput absorbs the surface color (reference: :339).
+            # Diffuse throughput absorbs the surface color (reference:
+            # :339); with the specular extension this is the NEE weight
+            # while the continuation throughput is chosen per lobe below.
+            color_in = color
             color = np.where(alive[:, None], color * surface, color)
 
             # Shadow ray when the light contribution matters (:341-374).
@@ -259,6 +328,40 @@ def render_reference(
             r34 = np.stack([_halton_vec(idx, 2 + bounce * 5 + 3),
                             _halton_vec(idx, 2 + bounce * 5 + 4)], axis=1)
             bounce_dir = _align_with_normal(_cosine_hemisphere(r34), normal)
+
+            if spec_ks is not None:
+                # Specular extension: per-ray choice between the diffuse
+                # lobe and a Phong lobe about the mirror direction,
+                # probability max(Ks)/(max(Kd)+max(Ks)); choice dimension
+                # 2 + 5*bounces + bounce (past the reference schedule so
+                # Ks == 0 keeps pixel parity).  The SAME r34 pair drives
+                # either lobe.
+                ks = spec_ks[mid]
+                shin = spec_ns[mid][:, None]
+                kd_max = np.max(surface, axis=1)
+                ks_max = np.max(ks, axis=1)
+                p_spec = ks_max / np.maximum(kd_max + ks_max, 1e-6)
+                xi = _halton_vec(idx, 2 + 5 * bounces + bounce)
+                take = alive & (xi < p_spec) & (ks_max > 0.0)
+                refl = d - 2.0 * np.sum(d * normal, axis=1,
+                                        keepdims=True) * normal
+                cos_a = r34[:, 1:2] ** (1.0 / (shin + 1.0))
+                sin_a = np.sqrt(np.maximum(0.0, 1.0 - cos_a * cos_a))
+                phi = 2.0 * np.pi * r34[:, 0:1]
+                lobe = np.concatenate(
+                    [sin_a * np.cos(phi), cos_a, sin_a * np.sin(phi)],
+                    axis=1)
+                d_spec = _align_with_normal(lobe, refl)
+                below = np.sum(d_spec * normal, axis=1, keepdims=True) <= 0.0
+                d_spec = np.where(below, refl, d_spec)
+                p_c = np.clip(p_spec, 1e-6, 1.0 - 1e-6)[:, None]
+                spec_tp = color_in * ks / p_c
+                diff_tp = np.where(alive[:, None],
+                                   color_in * surface / (1.0 - p_c),
+                                   color_in)
+                bounce_dir = np.where(take[:, None], d_spec, bounce_dir)
+                color = np.where(take[:, None], spec_tp, diff_tp)
+
             d = np.where(alive[:, None], bounce_dir, d)
             o = np.where(alive[:, None], pos + normal * 1e-3, o)
 

@@ -30,16 +30,31 @@ def _golden(name):
         return f["image"], int(f["bounces"]), int(f["seed"])
 
 
+# Extension-scene goldens set the matching RenderConfig flags (the golden
+# images bake them in — see make_goldens.SCENES); a one-line change in the
+# specular/emission/texture shading now fails a pixel test instead of
+# hiding behind tracer agreement (VERDICT round 3 #8).
+_FLAGS = {
+    "coatball": {"enable_specular": True, "enable_emission": True},
+    "uv_test": {"enable_textures": True},
+}
+
+
 @pytest.mark.parametrize("name,tracer", [
     ("plane_sphere", "bvh"),
     ("plane_sphere", "pallas"),
     ("dragon", "bvh"),
     ("dragon", "pallas"),
+    ("coatball", "bvh"),
+    ("coatball", "pallas"),
+    ("uv_test", "bvh"),
+    ("uv_test", "pallas"),
 ])
 def test_golden_image_pixels(name, tracer):
     golden, bounces, seed = _golden(name)
     cfg = RenderConfig(width=SIZE, height=SIZE, max_bounces=bounces,
-                       tracer=tracer, ray_block=128, seed=seed)
+                       tracer=tracer, ray_block=128, seed=seed,
+                       **_FLAGS.get(name, {}))
     img = Renderer(get_scene(name, SIZE, SIZE), cfg).render(1)
     diff = np.asarray(img, np.float64) - np.asarray(golden, np.float64)
     rmse = float(np.sqrt(np.mean(diff ** 2)))
