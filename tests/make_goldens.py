@@ -33,6 +33,9 @@ SCENES = (
     ("dragon", {}),
     ("coatball", {"enable_specular": True, "enable_emission": True}),
     ("uv_test", {"enable_textures": True}),
+    ("teapot", {}),
+    ("bunny_env", {"env_map": True}),
+    ("glass_sphere", {"enable_refraction": True}),
 )
 
 
@@ -83,6 +86,11 @@ def oracle_extensions(renderer, scene):
     if cfg.enable_specular:
         ext["specular"] = np.asarray(mats.specular)
         ext["shininess"] = np.asarray(mats.specular_exponent)
+    if cfg.env_map:
+        ext["env_map"] = np.asarray(renderer.data.env_map)
+    if cfg.enable_refraction:
+        ext["refraction_index"] = np.asarray(mats.refraction_index)
+        ext["dissolve"] = np.asarray(mats.dissolve)
     if cfg.enable_textures:
         from metal_raytracing_tpu.assets import load_texture
 
@@ -115,8 +123,11 @@ def main() -> int:
 
     from reference_oracle import render_reference
 
+    only = set(sys.argv[1].split(",")) if len(sys.argv) > 1 else None
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     for name, over in SCENES:
+        if only is not None and name not in only:
+            continue
         cfg = RenderConfig(width=SIZE, height=SIZE, max_bounces=BOUNCES,
                            tracer="bvh", ray_block=128, seed=SEED, **over)
         scene = get_scene(name, SIZE, SIZE)

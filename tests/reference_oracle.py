@@ -95,6 +95,24 @@ class _Tracer:
         return np.any(ok & (t <= max_t[:, None]), axis=1)
 
 
+def _env_nearest(env: np.ndarray, d: np.ndarray) -> np.ndarray:
+    """Nearest-sample a lat-long environment map with unit directions.
+
+    Independent re-derivation of the standard equirectangular mapping
+    (u from atan2 around +Y, v from polar angle).  The angle math runs in
+    float32 to mirror the on-device texel quantization, so boundary
+    texels agree with the package renderer instead of flipping on f64
+    rounding."""
+    d32 = np.asarray(d, np.float32)
+    he, we = env.shape[0], env.shape[1]
+    u = np.arctan2(d32[:, 0], -d32[:, 2]) / np.float32(2.0 * np.pi) \
+        + np.float32(0.5)
+    v = np.arccos(np.clip(d32[:, 1], -1.0, 1.0)) / np.float32(np.pi)
+    xi = np.clip((u * we).astype(np.int64), 0, we - 1)
+    yi = np.clip((v * he).astype(np.int64), 0, he - 1)
+    return np.asarray(env, np.float64)[yi, xi]
+
+
 def _sample_light(light: dict, r: np.ndarray, position: np.ndarray):
     """One light's (direction, color, distance) for a batch of shading
     points, by type (reference: Raytracing.metal:94-128, 281-327)."""
@@ -196,8 +214,30 @@ def render_reference(
       material)                  — nearest-sample base-color modulation
                                    with wrap UV addressing, bottom-left
                                    origin (flip v), edge-clamped texels
+      env_map (He, We, 3)        — lat-long environment radiance added
+                                   as throughput * env(d) when a ray
+                                   escapes (RenderConfig.env_map)
+      refraction_index (M,) + dissolve (M,)
+                                 — dielectric extension
+                                   (RenderConfig.enable_refraction): a
+                                   material with dissolve < 1 and Ni > 0
+                                   is (1 - dissolve) transmissive; its
+                                   diffuse layer (incl. NEE) carries the
+                                   dissolve fraction; the transmissive
+                                   branch does Snell refraction with
+                                   Schlick-Fresnel reflect/refract choice
+                                   and TIR on the side-aware shading
+                                   normal, Kd-tinted unless Kd is
+                                   near-black; shadow rays treat glass as
+                                   a full occluder (documented limit)
     """
     ext = extensions or {}
+    env_map = (np.asarray(ext["env_map"], np.float64)
+               if "env_map" in ext else None)
+    refr_ni = (np.asarray(ext["refraction_index"], np.float64)
+               if "refraction_index" in ext else None)
+    refr_dv = (np.asarray(ext["dissolve"], np.float64)
+               if "dissolve" in ext else None)
     mid_t = (np.asarray(ext["material_id"], np.int64)
              if "material_id" in ext else None)
     emission = (np.asarray(ext["emission"], np.float64)
@@ -245,6 +285,13 @@ def render_reference(
 
         for bounce in range(bounces):
             hit, tri, t, u, v = tracer.closest(o, d)
+            if env_map is not None:
+                # Env extension: escaped rays pick up throughput-weighted
+                # environment radiance (PRE-absorb throughput, matching
+                # renderer.bounce_tail's escape path).
+                esc = alive & ~hit
+                if esc.any():
+                    accum[esc] += color[esc] * _env_nearest(env_map, d[esc])
             # break-on-miss (reference: Raytracing.metal:246-247)
             alive = alive & hit
             if not alive.any():
@@ -315,6 +362,17 @@ def render_reference(
             color_in = color
             color = np.where(alive[:, None], color * surface, color)
 
+            # Refraction extension: transmissive materials weight this
+            # vertex's NEE by their dissolve (diffuse-layer) fraction.
+            if refr_ni is not None:
+                ni = refr_ni[mid]
+                dv = refr_dv[mid]
+                transmissive = alive & (dv < 1.0) & (ni > 0.0)
+                nee_w = np.where(transmissive, dv, 1.0)[:, None]
+            else:
+                transmissive = None
+                nee_w = 1.0
+
             # Shadow ray when the light contribution matters (:341-374).
             do_shadow = alive & (np.linalg.norm(lcol, axis=1) > 1e-4)
             if do_shadow.any():
@@ -322,7 +380,9 @@ def render_reference(
                 occ = tracer.occluded(so, ldir[do_shadow],
                                       ldist[do_shadow] - 1e-3)
                 vis = np.where(do_shadow)[0][~occ]
-                accum[vis] += lcol[vis] * color[vis]
+                accum[vis] += (lcol[vis] * color[vis]
+                               * (nee_w[vis] if refr_ni is not None
+                                  else 1.0))
 
             # Cosine-weighted bounce, dims 2+5b+{3,4} (reference: :384-391).
             r34 = np.stack([_halton_vec(idx, 2 + bounce * 5 + 3),
@@ -362,8 +422,45 @@ def render_reference(
                 bounce_dir = np.where(take[:, None], d_spec, bounce_dir)
                 color = np.where(take[:, None], spec_tp, diff_tp)
 
+            off_n = normal
+            if transmissive is not None:
+                # Transmissive branch, probability (1 - dissolve); choice
+                # + Fresnel dims sit past the specular lobe's (schedule
+                # 2 + 5*bounces + bounces + b and + 2*bounces + b), so
+                # scenes without glass keep pixel parity.
+                xi_t = _halton_vec(idx, 2 + 5 * bounces + bounces + bounce)
+                take = transmissive & (xi_t >= dv)
+                inside = np.sum(d * normal, axis=1) > 0.0
+                n_eff = np.where(inside[:, None], -normal, normal)
+                ci = np.clip(-np.sum(d * n_eff, axis=1), 0.0, 1.0)
+                ni_s = np.maximum(ni, 1.0 + 1e-6)
+                eta = np.where(inside, ni_s, 1.0 / ni_s)
+                sin2_t = eta * eta * np.maximum(0.0, 1.0 - ci * ci)
+                tir = sin2_t > 1.0
+                cos_t = np.sqrt(np.maximum(0.0, 1.0 - sin2_t))
+                d_refr = _normalize(eta[:, None] * d
+                                    + (eta * ci - cos_t)[:, None] * n_eff)
+                d_refl = _normalize(d + 2.0 * ci[:, None] * n_eff)
+                f0 = ((ni_s - 1.0) / (ni_s + 1.0)) ** 2
+                fr = np.where(tir, 1.0, f0 + (1.0 - f0) * (1.0 - ci) ** 5)
+                xi_f = _halton_vec(
+                    idx, 2 + 5 * bounces + 2 * bounces + bounce)
+                refl_t = xi_f < fr
+                bounce_dir = np.where(
+                    take[:, None],
+                    np.where(refl_t[:, None], d_refl, d_refr), bounce_dir)
+                # glass is Kd-tinted; near-black Kd means "clear"
+                kd_max = np.max(surface, axis=1, keepdims=True)
+                tint = np.where(kd_max > 1e-4, surface, 1.0)
+                t_tp = np.where(alive[:, None], color_in * tint, color_in)
+                color = np.where(take[:, None], t_tp, color)
+                # refracted rays continue THROUGH the surface
+                off_n = np.where(
+                    take[:, None],
+                    np.where(refl_t[:, None], n_eff, -n_eff), normal)
+
             d = np.where(alive[:, None], bounce_dir, d)
-            o = np.where(alive[:, None], pos + normal * 1e-3, o)
+            o = np.where(alive[:, None], pos + off_n * 1e-3, o)
 
         out[sl] = accum
     return out.reshape(height, width, 3)

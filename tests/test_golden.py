@@ -37,6 +37,8 @@ def _golden(name):
 _FLAGS = {
     "coatball": {"enable_specular": True, "enable_emission": True},
     "uv_test": {"enable_textures": True},
+    "bunny_env": {"env_map": True},
+    "glass_sphere": {"enable_refraction": True},
 }
 
 
@@ -49,6 +51,12 @@ _FLAGS = {
     ("coatball", "pallas"),
     ("uv_test", "bvh"),
     ("uv_test", "pallas"),
+    ("teapot", "bvh"),
+    ("teapot", "pallas"),
+    ("bunny_env", "bvh"),
+    ("bunny_env", "pallas"),
+    ("glass_sphere", "bvh"),
+    ("glass_sphere", "pallas"),
 ])
 def test_golden_image_pixels(name, tracer):
     golden, bounces, seed = _golden(name)

@@ -78,7 +78,8 @@ def _random_soup(n=1000, seed=0):
 
 @pytest.mark.parametrize("branching,cluster,builder", [
     (2, 16, "sah"), (8, 64, "sah"), (4, 32, "sah"),
-    (8, 64, "sah_free"), (4, 32, "sah_free")])
+    (8, 64, "sah_free"), (4, 32, "sah_free"),
+    (8, 64, "ploc"), (4, 32, "ploc")])
 def test_bvh_invariants(branching, cluster, builder):
     v0, e1, e2 = _random_soup(777)
     order, node_lo, node_hi, spec = accel.build_cluster_bvh(
@@ -215,13 +216,18 @@ def test_packet_matches_bruteforce_closest(cluster, branching):
                                   src[np.asarray(ref.tri)[hits]])
 
 
-def test_sah_free_packet_matches_bruteforce():
-    """The unquantized (partially-full-cluster) builder must trace
-    identically to the oracle: interspersed -1 padding slots become
-    degenerate triangles and cluster boxes still bound their refs."""
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("builder", ["sah_free", "ploc"])
+def test_sah_free_packet_matches_bruteforce(builder):
+    """Partially-full-cluster builders (sah_free top-down, ploc bottom-up)
+    must trace identically to the oracle: interspersed -1 padding slots
+    become degenerate triangles and cluster boxes still bound their
+    refs."""
     scene = plane_sphere_scene(32, 32)
     data, spec = scene.build(cluster_size=64, branching=8,
-                             builder="sah_free")
+                             builder=builder)
     o, d = _random_rays(512)
     mask = jnp.ones((512,), bool)
     ref = jax.jit(lambda o, d: T.trace_closest_bruteforce(
