@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+
 import json
 import os
 import sys
@@ -29,12 +30,19 @@ VARIANTS = [
     # identical any-hit; aims at the bounce-2 shadow exhaustion tail,
     # VERDICT round 3 #4 — occluders sit between surface and light)
     ("midorder", dict(shadow_mid_order=True)),
-    # Pallas shade-row fetch (VERDICT round 3 #3): DMA the hit slab +
-    # one-hot MXU select instead of the 1M-row XLA gather
-    ("shadefetch", dict(shade_fetch=True)),
-    ("shadefetch_b256", dict(shade_fetch=True, shade_fetch_block=256)),
-    ("shadefetch_b1024", dict(shade_fetch=True, shade_fetch_block=1024)),
-    ("shadefetch_midorder", dict(shade_fetch=True, shadow_mid_order=True)),
+    # VERDICT round 3 #3 (Pallas shade-row fetch) is ANSWERED BY
+    # MEASUREMENT, not a kernel: the x_shade marginal probe prices the
+    # in-pipeline gather at +3.5 ms/sample — already below the 10 ms
+    # "done" gate, so no DMA+select kernel is warranted.
+    # pair_shared: two clusters per visit through ONE shared accumulator
+    # (pair_visits' machinery amortization without its second live
+    # accumulator — the measured -7% register-pressure suspect)
+    ("pairshared", dict(visit_pairs2=True)),
+    # k samples per dispatch on the LARGE scene: the r4 profile shows
+    # ~169 ms device time vs ~190 ms wall — if the gap is dispatch/host
+    # bubbles, folding 4 samples into one dispatch recovers most of it
+    ("spd4", dict(samples_per_dispatch=4)),
+    ("pairshared_spd4", dict(visit_pairs2=True, samples_per_dispatch=4)),
     # bounce-0 compaction sort: cluster-key grouping + known-miss fold
     # for the PRIMARY pass (b1 is ~58% of the sample; primary visits
     # p50 = 0 — the floor-only majority can fold into dead blocks)
@@ -112,15 +120,28 @@ def main() -> int:
         data, spec = built[key]
         offsets = R.make_pixel_offsets(cfg)
 
-        f = jax.jit(lambda d, o, i: R.render_sample(d, spec, cfg, o, i)[0])
+        # production progressive path (exercises samples_per_dispatch;
+        # same donated-accumulator stepping the bench/CLI use)
+        k = cfg.samples_per_dispatch or 1
+        accum = jnp.zeros((size, size, 3))
+        totals = jnp.zeros((2,))
+
+        def step(d, o, fi, a, t):
+            # _progressive_step is already jitted (static spec/cfg/k,
+            # donated accumulators)
+            return R._progressive_step(d, o, fi, a, t, spec=spec, cfg=cfg,
+                                       k=k)
+
         t0 = time.perf_counter()
-        sync(f(data, offsets, jnp.int32(0)))
+        a, tt = step(data, offsets, jnp.int32(0), accum, totals)
+        sync(a)
         compile_s = time.perf_counter() - t0
+        rounds = max(1, args.samples // k)
         t0 = time.perf_counter()
-        for k in range(args.samples):
-            out = f(data, offsets, jnp.int32(k + 1))
-        sync(out)
-        ms = (time.perf_counter() - t0) / args.samples * 1e3
+        for i in range(rounds):
+            a, tt = step(data, offsets, jnp.int32(k + i * k), a, tt)
+        sync(a)
+        ms = (time.perf_counter() - t0) / (rounds * k) * 1e3
         line = {"variant": name, "ms_per_sample": round(ms, 1),
                 "compile_s": round(compile_s, 1),
                 "clusters": spec.bvh.num_clusters}
@@ -131,7 +152,7 @@ def main() -> int:
                     data, offsets)
             from metal_raytracing_tpu.utils.metrics import visit_percentiles
 
-            line.update(visit_percentiles(stats))
+            line.update(visit_percentiles(stats, pixels=size * size))
         except Exception as e:
             line["telemetry_error"] = str(e)[:120]
         print(json.dumps(line), flush=True)

@@ -334,6 +334,123 @@ def sah_free_clusters(
     return clusters
 
 
+def ploc_clusters(
+    tri_lo: np.ndarray,
+    tri_hi: np.ndarray,
+    cluster_size: int,
+    window: int = 16,
+) -> list:
+    """Bottom-up agglomerative (PLOC-style) clustering into groups of
+    <= ``cluster_size`` references.
+
+    Where :func:`sah_free_clusters` carves clusters TOP-DOWN with binned
+    axis-aligned splits, this builds them BOTTOM-UP: every reference starts
+    as its own group; each round, groups find their best merge partner
+    within a ``window``-wide neighborhood of the Morton-sorted group order
+    (the PLOC search structure — Meister & Bittner, "Parallel Locally-
+    Ordered Clustering", TVCG 2018 — public algorithm, re-implemented here
+    in numpy), scored by MERGED-box half-surface-area, and mutual best
+    pairs whose combined size fits ``cluster_size`` merge.  Rounds repeat
+    until no feasible mutual pair remains.
+
+    The traversal cost unit this optimizes is the same one sah_free's
+    model uses: a cluster VISIT costs a full dense test regardless of
+    occupancy, and a ray enters a cluster with probability ~ its box
+    surface area — so the objective is Σ SA(cluster) at bounded size.
+    Agglomeration can realize groupings axis-aligned splits cannot
+    (diagonal/curved shells), at the cost of less-balanced fill; padding
+    slots are degenerate never-hit triangles either way (scene.permute).
+
+    Returns a list of per-group reference-index arrays in Morton order of
+    the group centroids (consecutive cluster ids stay spatially local —
+    the implicit B-ary super level unions consecutive id ranges).
+
+    **Measured NEGATIVE on the dragon scene (round 4)** — kept as an
+    honest knob, not a default.  With the benefit criterion, merging
+    stalls at ~4-triangle groups (a curved surface patch's box inflates
+    on union, so SA(union) > SA(a) + SA(b) almost immediately): 29,346
+    groups, sumSA 163 vs sah_free's 355 clusters at 148 — and a padded
+    29k x 384 table cannot fit VMEM anyway.  WITHOUT the criterion
+    (capacity-only merging) the end-game pairs distant leftovers into
+    giant boxes: sumSA 210.  Axis-aligned top-down splits hug dense
+    surfaces tighter than Morton-windowed agglomeration at this
+    granularity; window 64 moves sumSA < 1%.
+    """
+    n = int(tri_lo.shape[0])
+    c = int(cluster_size)
+    if n == 0:
+        return []
+    lo = tri_lo.astype(np.float64).copy()
+    hi = tri_hi.astype(np.float64).copy()
+    cnt = np.ones(n, np.int64)
+    groups = [np.array([i], np.int64) for i in range(n)]
+    scene_lo = lo.min(axis=0)
+    scene_hi = hi.max(axis=0)
+
+    while len(groups) > 1:
+        k = len(groups)
+        cen = 0.5 * (lo + hi)
+        order = np.argsort(morton_codes_3d(cen, scene_lo, scene_hi),
+                           kind="stable")
+        lo, hi, cnt = lo[order], hi[order], cnt[order]
+        groups = [groups[i] for i in order]
+        w = min(window, k - 1)
+        # forward-offset merged SA: cost[i, dj] = SA(union(i, i + dj + 1))
+        cost = np.full((k, w), np.inf)
+        for dj in range(1, w + 1):
+            mlo = np.minimum(lo[:-dj], lo[dj:])
+            mhi = np.maximum(hi[:-dj], hi[dj:])
+            sa_m = _surface_area(mlo, mhi)
+            # feasible AND beneficial: a visit costs the same dense test
+            # either way and a ray enters a box with probability ~ SA, so
+            # merging pays only while SA(union) < SA(a) + SA(b) — without
+            # this, end-game merges of distant leftovers build giant
+            # boxes (measured: dragon sumSA 210 vs sah_free's 148)
+            feas = ((cnt[:-dj] + cnt[dj:]) <= c) & (
+                sa_m < _surface_area(lo[:-dj], hi[:-dj])
+                + _surface_area(lo[dj:], hi[dj:]))
+            cost[: k - dj, dj - 1] = np.where(feas, sa_m, np.inf)
+        # per-group best partner over forward AND backward offsets
+        best = np.full(k, -1, np.int64)
+        bestc = np.full(k, np.inf)
+        fwd_j = np.arange(k)[:, None] + np.arange(1, w + 1)[None, :]
+        fi = np.argmin(cost, axis=1)
+        fc = cost[np.arange(k), fi]
+        upd = fc < bestc
+        bestc = np.where(upd, fc, bestc)
+        best = np.where(upd, np.take_along_axis(
+            fwd_j, fi[:, None], 1)[:, 0].clip(max=k - 1), best)
+        # backward: group j = i + dj sees the same pair cost
+        for dj in range(1, w + 1):
+            cc = cost[: k - dj, dj - 1]
+            tgt = np.arange(dj, k)
+            upd = cc < bestc[tgt]
+            bestc[tgt] = np.where(upd, cc, bestc[tgt])
+            best[tgt] = np.where(upd, np.arange(0, k - dj), best[tgt])
+        # mutual best pairs merge (the PLOC round rule)
+        has = (best >= 0) & np.isfinite(bestc)
+        mutual = has & (best[best.clip(min=0)] == np.arange(k))
+        first = mutual & (np.arange(k) < best)
+        srcs = np.nonzero(first)[0]
+        if len(srcs) == 0:
+            break
+        dsts = best[srcs]
+        lo[srcs] = np.minimum(lo[srcs], lo[dsts])
+        hi[srcs] = np.maximum(hi[srcs], hi[dsts])
+        cnt[srcs] += cnt[dsts]
+        for s, dd in zip(srcs, dsts):
+            groups[s] = np.concatenate([groups[s], groups[dd]])
+        keep = np.ones(k, bool)
+        keep[dsts] = False
+        lo, hi, cnt = lo[keep], hi[keep], cnt[keep]
+        groups = [g for g, kp in zip(groups, keep) if kp]
+
+    cen = 0.5 * (lo + hi)
+    order = np.argsort(morton_codes_3d(cen, scene_lo, scene_hi),
+                       kind="stable")
+    return [groups[i] for i in order]
+
+
 def _clip_polygon_axis(poly: np.ndarray, axis: int, value: float,
                        keep_below: bool) -> np.ndarray:
     """Sutherland-Hodgman clip of a convex 3-D polygon against an
@@ -528,15 +645,19 @@ def build_cluster_bvh(
 
     scene_lo = ref_lo.min(axis=0)
     scene_hi = ref_hi.max(axis=0)
-    if builder in ("sah_free", "sah_chunk"):
-        # Cluster-granular SAH: list of (possibly partially-full) clusters;
-        # every cluster's tail pads with -1 (degenerate never-hit slots).
-        # sah_chunk scores in chunk-units and splits below cluster_size
-        # when beneficial (pairs with the kernels' chunk skip).
-        groups = sah_free_clusters(ref_lo, ref_hi,
-                                   np.ascontiguousarray(centroids), c,
-                                   chunk=128 if builder == "sah_chunk"
-                                   else 0, alpha=builder_alpha)
+    if builder in ("sah_free", "sah_chunk", "ploc"):
+        # Cluster-granular builders: list of (possibly partially-full)
+        # clusters; every cluster's tail pads with -1 (degenerate never-hit
+        # slots).  sah_chunk scores in chunk-units and splits below
+        # cluster_size when beneficial (pairs with the kernels' chunk
+        # skip); ploc agglomerates bottom-up by merged-box surface area.
+        if builder == "ploc":
+            groups = ploc_clusters(ref_lo, ref_hi, c)
+        else:
+            groups = sah_free_clusters(ref_lo, ref_hi,
+                                       np.ascontiguousarray(centroids), c,
+                                       chunk=128 if builder == "sah_chunk"
+                                       else 0, alpha=builder_alpha)
         num_clusters = len(groups)
         padded = num_clusters * c
         order_padded = np.full(padded + padded_global, -1, np.int64)

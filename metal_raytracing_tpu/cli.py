@@ -174,7 +174,11 @@ def cmd_render(args) -> int:
     progress_every = max(1, args.spp // 16)
     t0 = time.perf_counter()
     while renderer.frame_index < args.spp:
-        renderer.step()
+        # exact remainder step: the dispatch batch (samples_per_dispatch,
+        # auto 4 on small scenes) must not overshoot the requested spp —
+        # total_samples/checkpoint semantics count exact samples
+        renderer.step(min(renderer.samples_per_dispatch,
+                          args.spp - renderer.frame_index))
         if args.save_every and renderer.frame_index % args.save_every == 0:
             image_io.write_png(args.out, renderer.image,
                                tonemap=not args.no_tonemap)

@@ -534,6 +534,53 @@ def _dense_closest(tri_ref, base, c_size, tri_scratch, ocol, dcol,
     return acc
 
 
+def _dense_closest_pair(tri_ref, base1, base2, c_size, ocol, dcol,
+                        mask_col, lane, r):
+    """Dense closest-hit over TWO clusters into ONE (r, CHUNK) shared
+    accumulator (``pair_shared``/RenderConfig.visit_pairs2).
+
+    pair_visits amortizes the per-visit extract-min machinery over two
+    dense tests but carries a SECOND live (R, CHUNK) accumulator through
+    the loop body — measured -7% from Mosaic register pressure
+    (BASELINE.md batch22).  Here both clusters' chunks fold into the SAME
+    accumulator with (IDX_BITS + 1)-bit indices (j*CHUNK + lane spans
+    both clusters; two c_size <= 512 clusters fit 10 bits exactly), so
+    live state matches the one-visit walk; the caller decodes which base
+    won after its single lane reduce.  t is chopped one bit coarser
+    (2^-13 relative) — still a conservative underestimate for culling,
+    and the renderer recomputes exact t from the shade row regardless.
+    VMEM-resident path only (one scratch cannot hold two streamed slabs).
+    """
+    pidx = (1 << (IDX_BITS + 1)) - 1
+    init10 = (_MISS_KEY & ~pidx) | pidx
+    nch = c_size // CHUNK
+    acc = jnp.full((r, CHUNK), init10, jnp.int32)
+    for j in range(2 * nch):  # static unroll, see CHUNK
+        base = base1 if j < nch else base2
+        tri = _fetch_tri_chunk(tri_ref, base, j % nch, None)
+        t, _u, _v, hit = _mt_block(ocol, dcol, tri, None)
+        hit = hit & mask_col
+        ti = jax.lax.bitcast_convert_type(t, jnp.int32)
+        key = (ti & ~pidx) | (j * CHUNK + lane)
+        acc = jnp.minimum(acc, jnp.where(hit, key, init10))
+    return acc
+
+
+def _dense_any_pair(tri_ref, base1, base2, c_size, ocol, dcol, mask_col,
+                    maxt_col, r):
+    """Dense any-hit over TWO clusters into ONE (r, CHUNK) f32 hit-mask
+    accumulator — the pair_shared counterpart of :func:`_dense_any`
+    (one cross-lane reduce per PAIR in the caller)."""
+    nch = c_size // CHUNK
+    acc = jnp.zeros((r, CHUNK), jnp.float32)
+    for j in range(2 * nch):  # static unroll, see CHUNK
+        base = base1 if j < nch else base2
+        tri = _fetch_tri_chunk(tri_ref, base, j % nch, None)
+        _, _, _, hit = _mt_block(ocol, dcol, tri, maxt_col)
+        acc = jnp.maximum(acc, (hit & mask_col).astype(jnp.float32))
+    return acc
+
+
 def _dense_any(tri_ref, base, c_size, tri_scratch, ocol, dcol, mask_col,
                maxt_col, r, cnt=None):
     """Dense any-hit test of one cluster: (r, CHUNK) f32 hit-mask
@@ -902,7 +949,7 @@ def _closest_kernel(*refs,
                     g_base: int = 0, g_chunks: int = 0, n_global: int = 0,
                     g_planes: tuple = (), use_counts: bool = False,
                     host_seed: bool = False, baked: bool = False,
-                    pair_visits: bool = False,
+                    pair_visits: bool = False, pair_shared: bool = False,
                     count_visits: bool = False):
   # baked=True: shared-origin rays against bake_origin()-shifted planes —
   # ray comps are [dx dy dz maskf] and every o-dependent term is gone
@@ -1024,6 +1071,44 @@ def _closest_kernel(*refs,
             (cscore, cvis, best_key, best_base, nvis) = st
             k = jnp.argmin(cscore[:, 0])
             cvis = jnp.maximum(cvis, (clu_iota == k).astype(jnp.float32))
+            if pair_shared:
+                # Two clusters per iteration through ONE shared
+                # accumulator (see _dense_closest_pair: pair_visits'
+                # machinery amortization without its second live
+                # accumulator).  Visiting a cluster the refreshed score
+                # would have culled is waste, never wrong — the packed
+                # min is order-independent.
+                score2 = jnp.where(clu_iota == k, BIG_T, cscore)
+                live2 = jnp.min(score2) < BIG_T * 0.5
+                k2 = jnp.argmin(score2[:, 0])
+                live2f = jnp.where(live2, 1.0, 0.0)
+                cvis = jnp.maximum(
+                    cvis, (clu_iota == k2).astype(jnp.float32) * live2f)
+                # no second candidate: re-test cluster k (same chunks
+                # fold into the same min — bit-equal, no masking needed)
+                k2e = jnp.where(live2, k2, k)
+                base = pl.multiple_of((c_base + k) * c_size, 128)
+                base2 = pl.multiple_of((c_base + k2e) * c_size, 128)
+                acc = _dense_closest_pair(tri_ref, base, base2, c_size,
+                                          ocol, dcol, mask_col, lane, r)
+                vkey10 = jnp.min(acc, axis=1, keepdims=True).T  # (1, R)
+                pidx = (1 << (IDX_BITS + 1)) - 1
+                miss10 = _MISS_KEY & ~pidx
+                idx10 = vkey10 & pidx
+                over = idx10 >= c_size
+                vbase = jnp.where(over, base2, base)
+                idx9 = idx10 - jnp.where(over, c_size, 0)
+                # misses re-pack to the 9-bit sentinel (their 10-bit idx
+                # would otherwise bleed into the t bits)
+                vkey = jnp.where(vkey10 >= miss10, _INIT_KEY,
+                                 (vkey10 & ~pidx) | idx9)
+                upd = vkey < best_key
+                best_key = jnp.where(upd, vkey, best_key)
+                best_base = jnp.where(upd, vbase, best_base)
+                nvis = nvis + live2f
+                return (cluster_score(cvis, tn_c, hit_c,
+                                      _key_to_t(best_key)),
+                        cvis, best_key, best_base, nvis + 1.0)
             # declare the power-of-two alignment witness: Mosaic's
             # divisibility reasoning only accepts powers of two (c_size is
             # a 128-multiple)
@@ -1116,7 +1201,8 @@ def _closest_kernel(*refs,
 def _any_kernel(*refs, s_per: int, c_size: int, r: int, tb: int,
                 g_base: int = 0, g_chunks: int = 0, n_global: int = 0,
                 g_planes: tuple = (), use_counts: bool = False,
-                pair_visits: bool = False, mid_order: bool = False,
+                pair_visits: bool = False, pair_shared: bool = False,
+                mid_order: bool = False,
                 count_visits: bool = False):
   ray_refs = refs[:8]  # ox oy oz dx dy dz maskf tmax
   (sup_ref, clu_ref, tri_ref, gtri_ref, cnt_ref, _seed_unused,
@@ -1200,6 +1286,27 @@ def _any_kernel(*refs, s_per: int, c_size: int, r: int, tb: int,
             cscore, cvis, occ_row, nvis = st
             k = jnp.argmin(cscore[:, 0])
             cvis = jnp.maximum(cvis, (clu_iota == k).astype(jnp.float32))
+            if pair_shared:
+                # two clusters per iteration, ONE shared hit-mask
+                # accumulator and ONE cross-lane reduce per pair (see
+                # _dense_any_pair); occlusion is order-independent so
+                # over-visiting only wastes — results are bit-identical
+                score2 = jnp.where(clu_iota == k, BIG_T, cscore)
+                live2 = jnp.min(score2) < BIG_T * 0.5
+                k2 = jnp.argmin(score2[:, 0])
+                live2f = jnp.where(live2, 1.0, 0.0)
+                cvis = jnp.maximum(
+                    cvis, (clu_iota == k2).astype(jnp.float32) * live2f)
+                k2e = jnp.where(live2, k2, k)
+                base = pl.multiple_of((c_base + k) * c_size, 128)
+                base2 = pl.multiple_of((c_base + k2e) * c_size, 128)
+                acc = _dense_any_pair(tri_ref, base, base2, c_size, ocol,
+                                      dcol, mask_col, maxt_col, r)
+                newly = jnp.max(acc, axis=1, keepdims=True)  # (R, 1)
+                occ_row = jnp.maximum(occ_row, newly.T)
+                nvis = nvis + live2f
+                return (cluster_score(cvis, tn_c, hit_c, occ_row), cvis,
+                        occ_row, nvis + 1.0)
             # declare the power-of-two alignment witness: Mosaic's
             # divisibility reasoning only accepts powers of two (c_size is
             # a 128-multiple)
@@ -1579,7 +1686,7 @@ def trace_closest(o, d, mask, sup, clu, tri, spec: BVHSpec,
                   stream=None, count_visits: bool = False,
                   exact_uv: bool = True, flat=None, counts=None,
                   seed_key=None, baked_origin: bool = False,
-                  pair_visits: bool = False):
+                  pair_visits: bool = False, pair_shared: bool = False):
     """Closest-hit query via the hierarchical Pallas tracer.
 
     ``sup``/``clu``/``tri`` are the prepacked planes from
@@ -1669,7 +1776,11 @@ def trace_closest(o, d, mask, sup, clu, tri, spec: BVHSpec,
                                    c_size=spec.cluster_size, r=block, tb=tb,
                                    count_visits=count_visits,
                                    baked=baked_origin,
-                                   pair_visits=pair_visits, **gkw)
+                                   pair_visits=pair_visits,
+                                   # resident-only: one scratch cannot
+                                   # hold two streamed slabs
+                                   pair_shared=pair_shared and not stream,
+                                   **gkw)
     out_shapes = (
         jax.ShapeDtypeStruct((nb, 1, block), jnp.float32),
         jax.ShapeDtypeStruct((nb, 1, block), jnp.int32),
@@ -1718,6 +1829,7 @@ def trace_any(o, d, max_t, mask, sup, clu, tri, spec: BVHSpec,
               block: int = 128, tiles_per_step: int = 8, stream=None,
               count_visits: bool = False, flat=None, counts=None,
               seed_global: bool = True, pair_visits: bool = False,
+              pair_shared: bool = False,
               mid_order: bool = False):
     """Any-hit occlusion query via the hierarchical Pallas tracer.
 
@@ -1779,6 +1891,7 @@ def trace_any(o, d, max_t, mask, sup, clu, tri, spec: BVHSpec,
                                    c_size=spec.cluster_size, r=block, tb=tb,
                                    count_visits=count_visits,
                                    pair_visits=pair_visits,
+                                   pair_shared=pair_shared and not stream,
                                    mid_order=mid_order, **gkw)
     out_shapes = (jax.ShapeDtypeStruct((nb, 1, block), jnp.int32),)
     out_specs = (pl.BlockSpec((tb, 1, block), lambda i: (i, 0, 0),

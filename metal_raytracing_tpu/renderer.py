@@ -192,6 +192,8 @@ def _make_tracers(data: SceneData, spec: SceneSpec, cfg: RenderConfig):
             counts=data.clu_counts if cfg.chunk_skip else None,
             pair_visits=(cfg.visit_pairs
                          and not trace_pallas._use_flat(spec.bvh, None)),
+            pair_shared=(cfg.visit_pairs2
+                         and not trace_pallas._use_flat(spec.bvh, None)),
             # the renderer recomputes exact t from the shade-row gather it
             # pays anyway — skip the tracer's own plane gather
             exact_uv=False)
@@ -202,6 +204,8 @@ def _make_tracers(data: SceneData, spec: SceneSpec, cfg: RenderConfig):
             counts=data.clu_counts if cfg.chunk_skip else None,
             mid_order=cfg.shadow_mid_order,
             pair_visits=(cfg.visit_pairs
+                         and not trace_pallas._use_flat(spec.bvh, None)),
+            pair_shared=(cfg.visit_pairs2
                          and not trace_pallas._use_flat(spec.bvh, None)),
             # with the host-side fold the kernels never test the
             # global set (render_rays masks occluded rays instead)
@@ -972,6 +976,15 @@ def render_rays(
             if cfg.telemetry and tracer_kind == "pallas":
                 occluded, tele[f"shadow_visits_b{bounce}"] = occluded
         visible = do_shadow & ~occluded & ~g_occ
+        if cfg.telemetry:
+            # Occlusion-outcome split (round 4): ordering levers (occluder
+            # hints, mid-order) can only help OCCLUDED rays terminate
+            # early — unoccluded rays must exhaust their candidate set
+            # regardless of visit order.  The per-bounce occluded fraction
+            # bounds what any ordering change can recover from the
+            # bounce-2 shadow exhaustion tail (VERDICT round 3 #4).
+            tele[f"shadow_occn_b{bounce}"] = jnp.sum(
+                (do_shadow & (occluded | g_occ)).astype(jnp.int32))
         if cfg.enable_refraction:
             # Dielectric extension (the reference's own declared next
             # feature, reference README.md:8; Ni/d are carried in the ABI,

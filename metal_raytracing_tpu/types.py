@@ -238,10 +238,11 @@ class RenderConfig:
     # cluster quantization) | "sah_free" (cluster-granular unquantized
     # splits, partially-full clusters) | "sah_chunk" (chunk-granular cost
     # model, pairs with the kernels' partial-cluster chunk skip) |
-    # "median" | "morton".  sah_free measured 190.7 vs sah's 200.5
-    # ms/sample under the cluster1 key (dragon 1024^2, batch13) — its
-    # pre-cluster1 edge at c512 moved to c384 once the broad phase
-    # started charging per-cluster entry distance.
+    # "median" | "morton" | "ploc" (bottom-up agglomerative, round 4 —
+    # measured NEGATIVE: see accel.ploc_clusters).  sah_free measured
+    # 190.7 vs sah's 200.5 ms/sample under the cluster1 key (dragon
+    # 1024^2, batch13) — its pre-cluster1 edge at c512 moved to c384 once
+    # the broad phase started charging per-cluster entry distance.
     bvh_builder: str = "sah_free"
     # sah_chunk per-visit machinery cost in 128-wide chunk-test units
     # (higher = fewer, fuller clusters).  NOTE: sah_chunk measured a clear
@@ -288,6 +289,16 @@ class RenderConfig:
     # pressure from two live (R, CHUNK) dense accumulators.  Kept as a
     # knob for smaller-cluster configs.
     visit_pairs: bool = False
+    # Round-4 retry of the pair amortization with the register-pressure
+    # hypothesis addressed: both clusters' dense chunks fold into ONE
+    # shared (R, CHUNK) accumulator using (IDX_BITS + 1)-bit in-kernel
+    # triangle indices (re-packed to the 9-bit key format after the
+    # single lane reduce), so live loop state matches the one-visit walk
+    # while per-visit extract-min machinery (argmin + score recompute +
+    # lane reduce) halves.  t chops one bit coarser in-kernel (2^-13
+    # relative; exact t is recomputed from the shade row regardless).
+    # Hierarchical kernels, VMEM-resident scenes only.
+    visit_pairs2: bool = False
     # SBVH-style spatial pre-split budget (extra references as a fraction
     # of the triangle count; 0 disables).  Splits huge triangles into
     # clipped references so cluster AABBs stay tight.  MEASURED NEGATIVE

@@ -177,6 +177,15 @@ def visit_percentiles(stats: Dict[str, object],
                     (lambda a: round(float(a[a > 0].mean()), 2)
                      if (a > 0).any() else 0.0)(np.asarray(stats[k]))
                     for k in vkeys[1:]]
+    okeys = sorted(k for k in stats if k.startswith("shadow_occn_b"))
+    if okeys:
+        # occluded share of the rays that actually took a shadow test —
+        # the ceiling on what occluder-first visit ordering can recover
+        # from the shadow exhaustion tail (unoccluded rays must exhaust)
+        out["shadow_occluded_frac_by_bounce"] = [
+            round(int(stats[k])
+                  / max(1, int(stats.get(k.replace("occn_", ""), 0))), 4)
+            for k in okeys]
     skeys = sorted(k for k in stats if k.startswith("shadow_visits_"))
     if skeys:
         sall = np.concatenate([np.asarray(stats[k]) for k in skeys])

@@ -217,6 +217,41 @@ def test_pallas_pair_visits_bit_identical(scene_data):
     np.testing.assert_array_equal(np.asarray(ra), np.asarray(ga))
 
 
+def test_pallas_pair_shared_matches(scene_data):
+    """pair_shared folds two clusters' dense chunks into ONE shared
+    accumulator with 10-bit in-kernel indices: any-hit is BIT-identical
+    (order-independent mask); closest-hit t chops one bit coarser
+    (2^-13 relative), so hits must agree exactly except near-ties within
+    that chop, where either winner is a valid closest hit."""
+    data, spec = scene_data
+    o, d = _rays(256, seed=23)
+    mask = jnp.ones((256,), bool)
+    ref = TP.trace_closest(o, d, mask, data.sup_planes, data.clu_planes,
+                           data.tri_planes, spec.bvh, flat=False,
+                           exact_uv=False)
+    got = TP.trace_closest(o, d, mask, data.sup_planes, data.clu_planes,
+                           data.tri_planes, spec.bvh, flat=False,
+                           exact_uv=False, pair_shared=True)
+    rt, gt = np.asarray(ref.t), np.asarray(got.t)
+    rtri, gtri = np.asarray(ref.tri), np.asarray(got.tri)
+    np.testing.assert_array_equal(rtri >= 0, gtri >= 0)
+    found = rtri >= 0
+    # t agrees to the coarser chop everywhere
+    np.testing.assert_allclose(gt[found], rt[found], rtol=2.5e-4)
+    # the winning triangle may differ ONLY where the two tracers' t are
+    # within the 10-bit chop of each other (a true near-tie)
+    diff = found & (rtri != gtri)
+    assert np.all(np.abs(gt[diff] - rt[diff])
+                  <= 2.5e-4 * np.abs(rt[diff]) + 1e-7)
+    maxt = jnp.full((256,), 4.0, jnp.float32)
+    ra = TP.trace_any(o, d, maxt, mask, data.sup_planes, data.clu_planes,
+                      data.tri_planes, spec.bvh, flat=False)
+    ga = TP.trace_any(o, d, maxt, mask, data.sup_planes, data.clu_planes,
+                      data.tri_planes, spec.bvh, flat=False,
+                      pair_shared=True)
+    np.testing.assert_array_equal(np.asarray(ra), np.asarray(ga))
+
+
 def test_pallas_baked_origin_matches_unbaked(scene_data):
     """Shared-origin rays traced against bake_origin()-shifted planes
     (the primary-pass specialization) must match the plain kernel: t is

@@ -127,6 +127,40 @@ def test_pair_visits_compiled(built, stream):
     np.testing.assert_array_equal(np.asarray(ra), np.asarray(ga))
 
 
+def test_pair_shared_compiled(built):
+    """pair_shared (two clusters through ONE shared accumulator, 10-bit
+    in-kernel indices re-packed to the 9-bit key format) on real Mosaic:
+    any-hit bit-identical; closest hits agree except near-ties within the
+    coarser 2^-13 t chop (see tests/test_trace_pallas.py counterpart).
+    Resident path only — under stream=True the flag self-disables."""
+    data, spec = built
+    o, d = _rays(256, seed=29)
+    mask = jnp.ones((256,), bool)
+    ref = TP.trace_closest(o, d, mask, data.sup_planes, data.clu_planes,
+                           data.tri_planes, spec.bvh, block=128,
+                           flat=False, exact_uv=False, stream=False)
+    got = TP.trace_closest(o, d, mask, data.sup_planes, data.clu_planes,
+                           data.tri_planes, spec.bvh, block=128,
+                           flat=False, exact_uv=False, pair_shared=True,
+                           stream=False)
+    rt, gt = np.asarray(ref.t), np.asarray(got.t)
+    rtri, gtri = np.asarray(ref.tri), np.asarray(got.tri)
+    np.testing.assert_array_equal(rtri >= 0, gtri >= 0)
+    found = rtri >= 0
+    np.testing.assert_allclose(gt[found], rt[found], rtol=2.5e-4)
+    diff = found & (rtri != gtri)
+    assert np.all(np.abs(gt[diff] - rt[diff])
+                  <= 2.5e-4 * np.abs(rt[diff]) + 1e-7)
+    maxt = jnp.full((256,), 4.0, jnp.float32)
+    ra = TP.trace_any(o, d, maxt, mask, data.sup_planes, data.clu_planes,
+                      data.tri_planes, spec.bvh, block=128, flat=False,
+                      stream=False)
+    ga = TP.trace_any(o, d, maxt, mask, data.sup_planes, data.clu_planes,
+                      data.tri_planes, spec.bvh, block=128, flat=False,
+                      pair_shared=True, stream=False)
+    np.testing.assert_array_equal(np.asarray(ra), np.asarray(ga))
+
+
 def test_count_visits_compiled(built):
     data, spec = built
     o, d = _rays(128, seed=17)
