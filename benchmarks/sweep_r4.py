@@ -43,6 +43,10 @@ VARIANTS = [
     # bubbles, folding 4 samples into one dispatch recovers most of it
     ("spd4", dict(samples_per_dispatch=4)),
     ("pairshared_spd4", dict(visit_pairs2=True, samples_per_dispatch=4)),
+    # legacy two-pass rank-2 broad phase (the new default is ONE variadic
+    # (min, second-min) reduce — the profile showed XLA rematerializing
+    # the whole (N, NC) slab chain for the second pass, ~4.6 ms/call)
+    ("rank2_twopass", dict(_rank2_twopass=True)),
     # bounce-0 compaction sort: cluster-key grouping + known-miss fold
     # for the PRIMARY pass (b1 is ~58% of the sample; primary visits
     # p50 = 0 — the floor-only majority can fold into dead blocks)
@@ -98,9 +102,12 @@ def main() -> int:
     scene = get_scene(args.scene, size, size)
     built = {}
     cfg_fields = {f.name for f in dataclasses.fields(RenderConfig)}
+    from metal_raytracing_tpu.ops import trace_pallas as TP
+
     for name, over in variants:
         R.ABLATE_EXTRA = frozenset(
             over["_ablate"].split("+")) if "_ablate" in over else frozenset()
+        TP.RANK2_TWO_PASS = bool(over.get("_rank2_twopass", False))
         unknown = [k for k in over
                    if k not in cfg_fields and not k.startswith("_")]
         if unknown:
