@@ -391,6 +391,10 @@ def _box_cols(ref):
 # tests/test_trace_pallas.py).
 GLOBAL_SCALAR_MAX = 0
 
+# A/B switch (benchmarks/sweep_r4.py): force the legacy two-pass rank-2
+# broad phase instead of the single variadic (min, second-min) reduce.
+RANK2_TWO_PASS = False
+
 # Benchmark-only ablation hook (benchmarks/fixed_cost.py): a set of
 # component names the closest kernel OMITS at trace time, so the per-tile
 # fixed cost (the round-3 binding floor) can be decomposed by cumulative
@@ -708,11 +712,39 @@ def nearest_cluster(o, d, mask, clu, spec: BVHSpec, max_t=None,
     cid = jnp.where(best == sent, jnp.int32(ns * s), best & idm)
     if return_second:
         # second(/third/...)-nearest clusters (the ``cluster2``/
-        # ``cluster3`` sort keys): one extra (N, NC) compare + min over
-        # the keys already formed per rank.  Unique id low bits make keys
-        # distinct per cluster, so != current-winner masks exactly it.
+        # ``cluster3`` sort keys).  Unique id low bits make keys distinct
+        # per cluster, so ranks are well-defined.
         n_extra = int(return_second)
         extras = []
+        if n_extra == 1 and not RANK2_TWO_PASS:
+            # ONE variadic reduce computes (min, second-min) together:
+            # the two-pass form re-mins `where(key == best, sent, key)`,
+            # and XLA REMATERIALIZES the whole (N, NC) slab chain for
+            # that second pass rather than hold (N, NC) keys in HBM
+            # (device profile round 4: two ~4.6 ms fusions per call).
+            # The combiner is associative — second-smallest of a union is
+            # min(max(a1, b1), a2, b2) — and exact, so results are
+            # IDENTICAL to the two-pass form.  Measured NEUTRAL on dragon
+            # 1024² (179.2 vs 179.2 same-process, batch r4-3): the
+            # rematerialized chain overlapped for free — kept as the
+            # default for the halved HLO, with the two-pass form behind
+            # RANK2_TWO_PASS for A/Bs.
+            def _comb(a, b):
+                a1, a2 = a
+                b1, b2 = b
+                return (jnp.minimum(a1, b1),
+                        jnp.minimum(jnp.maximum(a1, b1),
+                                    jnp.minimum(a2, b2)))
+
+            best, cur = jax.lax.reduce(
+                (key, jnp.full_like(key, sent)),
+                (jnp.int32(sent), jnp.int32(sent)), _comb, (1,))
+            cid = jnp.where(best == sent, jnp.int32(ns * s), best & idm)
+            extras.append(jnp.where(cur == sent, jnp.int32(ns * s),
+                                    cur & idm))
+            if return_key:
+                return (cid, best, *extras)
+            return (cid, *extras)
         kk, cur = key, best
         for _ in range(n_extra):
             kk = jnp.where(kk == cur[:, None], sent, kk)

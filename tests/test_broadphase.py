@@ -102,3 +102,26 @@ def test_dead_tiles_write_sentinels(built):
     assert int(jnp.sum(k1a != TP._NC_SENT)) == 0
     if ga is not None:
         assert int(jnp.sum(ga)) == 0
+
+
+def test_rank2_single_pass_reduce_matches_two_pass(built):
+    """The single variadic (min, second-min) reduce must equal the legacy
+    two-pass rank-2 broad phase EXACTLY (the combiner is associative and
+    exact; unique id low bits make keys distinct) — with and without
+    max_t, across masked rays."""
+    data, spec = built
+    o, d, mask, maxt = _rays(512, seed=11)
+    for mt in (None, maxt):
+        TP.RANK2_TWO_PASS = True
+        try:
+            ref = TP.nearest_cluster(o, d, mask, data.clu_planes, spec.bvh,
+                                     max_t=mt, return_key=True,
+                                     return_second=1)
+            TP.RANK2_TWO_PASS = False
+            got = TP.nearest_cluster(o, d, mask, data.clu_planes, spec.bvh,
+                                     max_t=mt, return_key=True,
+                                     return_second=1)
+        finally:
+            TP.RANK2_TWO_PASS = False
+        for a, b in zip(ref, got):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -270,3 +270,21 @@ def test_reset_restarts_accumulation(small_scene):
     again = r.render(2)
     assert r.frame_index == 2
     assert rmse(fresh, again) == 0.0
+
+
+def test_samples_per_dispatch_bit_identical(small_scene):
+    """k samples per dispatch (RenderConfig.samples_per_dispatch) is the
+    SAME sequential accumulate fold inside one program: the image must be
+    bit-identical to per-sample dispatches, total_samples must advance by
+    exactly the requested spp (no overshoot — the round-4 CLI bug), and a
+    non-multiple spp must take an exact remainder step."""
+    r1 = Renderer(small_scene, _cfg(tracer="bvh", samples_per_dispatch=1))
+    r4 = Renderer(small_scene, _cfg(tracer="bvh", samples_per_dispatch=4))
+    img1 = r1.render(5)
+    img4 = r4.render(5)  # 4 + exact remainder 1
+    np.testing.assert_array_equal(img1, img4)
+    assert r1.total_samples == 5
+    assert r4.total_samples == 5
+    # counters agree too (same rays traced either way)
+    assert r1.total_closest_rays == r4.total_closest_rays
+    assert r1.total_shadow_rays == r4.total_shadow_rays
