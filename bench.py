@@ -68,6 +68,7 @@ _ANCHOR_OVERRIDES = dict(
     shadow_mid_order=False,
     shadow_ray_block_last=0,
     sort_primary=False,
+    visit_pairs2=False,
 )
 
 
@@ -193,6 +194,13 @@ def main() -> int:
             print(ldiag, file=sys.stderr)
         except Exception as e:  # a ladder failure must not mask the headline
             print(f"# ladder scene {name} failed: {e}", file=sys.stderr)
+    if ladder:
+        # Re-emit the HEADLINE as the final JSON line: the driver's
+        # machine-readable `parsed` block takes the LAST line, and the
+        # round-3 artifact silently recorded the last LADDER scene
+        # (coatball) instead of the dragon headline, breaking the
+        # cross-round parsed.value series (round-4 review finding).
+        print(json.dumps(dict(line, headline_reemit=True)), flush=True)
     return 0
 
 
