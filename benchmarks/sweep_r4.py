@@ -104,10 +104,25 @@ def main() -> int:
     cfg_fields = {f.name for f in dataclasses.fields(RenderConfig)}
     from metal_raytracing_tpu.ops import trace_pallas as TP
 
+    glob_state = (frozenset(), False)
     for name, over in variants:
-        R.ABLATE_EXTRA = frozenset(
-            over["_ablate"].split("+")) if "_ablate" in over else frozenset()
-        TP.RANK2_TWO_PASS = bool(over.get("_rank2_twopass", False))
+        want_state = (
+            frozenset(over["_ablate"].split("+")) if "_ablate" in over
+            else frozenset(),
+            bool(over.get("_rank2_twopass", False)))
+        if want_state != glob_state:
+            # module-global-only variants (_ablate/_rank2_twopass) leave
+            # the static (cfg, spec, k) key unchanged — the module-level
+            # jitted _progressive_step would silently return the cached
+            # program traced under the PREVIOUS global state and the
+            # probe would measure the anchor (round-4 review finding;
+            # batch r4-3's rank2 A/B was void).  Clear the trace cache
+            # whenever the globals change, in EITHER direction; the
+            # persistent XLA cache still dedupes identical HLO, so this
+            # only costs a re-trace.
+            R._progressive_step.clear_cache()
+        glob_state = want_state
+        R.ABLATE_EXTRA, TP.RANK2_TWO_PASS = want_state
         unknown = [k for k in over
                    if k not in cfg_fields and not k.startswith("_")]
         if unknown:

@@ -92,6 +92,21 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def dispatch_span(frame_index: int, samples_per_dispatch: int,
+                  spp: int, save_every: int | None) -> int:
+    """Samples for the next progressive dispatch from ``frame_index``.
+
+    The batch (``samples_per_dispatch``, auto 4 on small scenes) must not
+    overshoot the requested ``spp`` — total_samples/checkpoint semantics
+    count exact samples — and must LAND on every ``--save-every``
+    boundary, not stride past it (a spd-4 render with --save-every 2
+    would otherwise never save)."""
+    k = min(samples_per_dispatch, spp - frame_index)
+    if save_every:
+        k = min(k, save_every - frame_index % save_every)
+    return k
+
+
 def cmd_parity(args) -> int:
     import jax
     import jax.numpy as jnp
@@ -174,11 +189,9 @@ def cmd_render(args) -> int:
     progress_every = max(1, args.spp // 16)
     t0 = time.perf_counter()
     while renderer.frame_index < args.spp:
-        # exact remainder step: the dispatch batch (samples_per_dispatch,
-        # auto 4 on small scenes) must not overshoot the requested spp —
-        # total_samples/checkpoint semantics count exact samples
-        renderer.step(min(renderer.samples_per_dispatch,
-                          args.spp - renderer.frame_index))
+        renderer.step(dispatch_span(renderer.frame_index,
+                                    renderer.samples_per_dispatch,
+                                    args.spp, args.save_every))
         if args.save_every and renderer.frame_index % args.save_every == 0:
             image_io.write_png(args.out, renderer.image,
                                tonemap=not args.no_tonemap)

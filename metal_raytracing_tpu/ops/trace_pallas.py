@@ -914,6 +914,11 @@ def broadphase_keys(o, d, mask, clu, tri, spec: BVHSpec, max_t=None,
     n = o.shape[0]
     assert n % block == 0, f"ray count {n} not a multiple of block {block}"
     assert (max_t is None) or any_mode, "max_t requires any_mode=True"
+    # the kernel derives its ray-component count from any_mode (8 with a
+    # tmax row, 7 without) — an unbounded any-mode query without max_t
+    # would misalign every ref after the rays
+    assert (max_t is not None) or not any_mode, \
+        "any_mode=True requires max_t (pass BIG_T for unbounded queries)"
     assert with_clusters or spec.num_global, "kernel would have no output"
     ncp = clu.shape[0] * clu.shape[1]
     assert ncp <= BROADPHASE_MAX_CLUSTERS

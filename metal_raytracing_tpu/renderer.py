@@ -324,6 +324,10 @@ def render_rays(
     pad_to = block * pblock // math.gcd(block, pblock)
     pad_to = pad_to * sblock // math.gcd(pad_to, sblock)
     pad_to = pad_to * sblock_last // math.gcd(pad_to, sblock_last)
+    if cfg.fused_broadphase:
+        # the fused broad-phase kernel asserts its own block divisibility
+        bb = cfg.broadphase_block
+        pad_to = pad_to * bb // math.gcd(pad_to, bb)
     p = -(-n // pad_to) * pad_to
     lcount = spec.light_count
 
@@ -370,7 +374,6 @@ def render_rays(
         plus (known_miss, carried_gk) — None when their config paths are
         off."""
         known_miss = None
-        carried_gk = None
         cluster1_bits = None  # set when the cluster1 key is active
         carried_gk = None  # global-seed key riding the sort (carry_seed)
         if cfg.sort_bounces:
@@ -1189,13 +1192,8 @@ def render_rays(
         # occupancy instead of the padded lane count.  Suffix lanes pass
         # through untouched; identical image up to ~1-ulp per-width XLA
         # codegen rounding (see RenderConfig.live_widths).
-        sorted_now = (cfg.compaction
-                      and (bounce > 0 or cfg.sort_primary)
-                      and cfg.sort_bounces
-                      and (cfg.sort_last_bounce
-                           or bounce < cfg.max_bounces - 1))
         widths = _bucket_widths(p, pad_to, cfg.live_widths)
-        if (sorted_now and not cfg.telemetry and len(widths) > 1
+        if (sorted_this and not cfg.telemetry and len(widths) > 1
                 and bounce >= cfg.live_from_bounce):
             opt = [a for a in (known_miss, carried_gk) if a is not None]
             has_km = known_miss is not None

@@ -354,10 +354,12 @@ class RenderConfig:
     # them as zero-visit lanes inside live blocks.  Costs one extra
     # 15-operand compaction sort + key pass at bounce 0.
     sort_primary: bool = False
-    # rays inherit the previous bounce's (still mostly coherent) order,
-    # trading some traversal coherence for one fewer 15-operand 1M-row
-    # sort (~18 ms) + key compute.  Identical image (the sort is a pure
-    # permutation); knob exists for A/B.
+    # Skip the compaction sort before the FINAL bounce: its rays inherit
+    # the previous bounce's (still mostly coherent) order, trading some
+    # traversal coherence for one fewer 15-operand 1M-row sort (~18 ms)
+    # + key compute.  Identical image (the sort is a pure permutation);
+    # knob exists for A/B (skipping measured a clear LOSS: sortlast0
+    # 308.1 vs 260.6, BASELINE.md batch12 — default stays True).
     sort_last_bounce: bool = True
     # Carry path throughput + per-ray radiance through the bounce
     # compaction sort as three packed f16-PAIR words instead of six f32

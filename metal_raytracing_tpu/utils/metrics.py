@@ -137,17 +137,23 @@ def visit_percentiles(stats: Dict[str, object],
     """
     import numpy as np
 
+    def _bounce_order(prefix):
+        # numeric bounce order: lexicographic sort would interleave
+        # b10/b11 between b1 and b2 for max_bounces > 9
+        keys = [k for k in stats if k.startswith(prefix)]
+        return sorted(keys, key=lambda k: int(k[len(prefix):]))
+
     out: Dict[str, object] = {}
     if pixels:
-        lkeys = sorted(k for k in stats if k.startswith("live_b"))
+        lkeys = _bounce_order("live_b")
         if lkeys:
             out["live_frac_by_bounce"] = [
                 round(int(stats[k]) / pixels, 4) for k in lkeys]
-        skeys_n = sorted(k for k in stats if k.startswith("shadow_b"))
+        skeys_n = _bounce_order("shadow_b")
         if skeys_n:
             out["shadow_frac_by_bounce"] = [
                 round(int(stats[k]) / pixels, 4) for k in skeys_n]
-    vkeys = sorted(k for k in stats if k.startswith("visits_"))
+    vkeys = _bounce_order("visits_b")
     if vkeys:
         prim = np.asarray(stats[vkeys[0]])
         out["visits_primary_p50_p90"] = [
@@ -177,7 +183,7 @@ def visit_percentiles(stats: Dict[str, object],
                     (lambda a: round(float(a[a > 0].mean()), 2)
                      if (a > 0).any() else 0.0)(np.asarray(stats[k]))
                     for k in vkeys[1:]]
-    okeys = sorted(k for k in stats if k.startswith("shadow_occn_b"))
+    okeys = _bounce_order("shadow_occn_b")
     if okeys:
         # occluded share of the rays that actually took a shadow test —
         # the ceiling on what occluder-first visit ordering can recover
@@ -186,7 +192,7 @@ def visit_percentiles(stats: Dict[str, object],
             round(int(stats[k])
                   / max(1, int(stats.get(k.replace("occn_", ""), 0))), 4)
             for k in okeys]
-    skeys = sorted(k for k in stats if k.startswith("shadow_visits_"))
+    skeys = _bounce_order("shadow_visits_b")
     if skeys:
         sall = np.concatenate([np.asarray(stats[k]) for k in skeys])
         sv = sall[sall > 0]
