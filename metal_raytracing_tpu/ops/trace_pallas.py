@@ -724,10 +724,10 @@ def nearest_cluster(o, d, mask, clu, spec: BVHSpec, max_t=None,
             # (device profile round 4: two ~4.6 ms fusions per call).
             # The combiner is associative — second-smallest of a union is
             # min(max(a1, b1), a2, b2) — and exact, so results are
-            # IDENTICAL to the two-pass form.  Measured NEUTRAL on dragon
-            # 1024² (179.2 vs 179.2 same-process, batch r4-3): the
-            # rematerialized chain overlapped for free — kept as the
-            # default for the halved HLO, with the two-pass form behind
+            # IDENTICAL to the two-pass form.  Measured a real 3.7% win
+            # on dragon 1024² (178.7 vs 185.6 same-process, batch r4-4;
+            # the earlier "neutral" r4-3 reading was a void cache-reuse
+            # measurement) — default, with the two-pass form behind
             # RANK2_TWO_PASS for A/Bs.
             def _comb(a, b):
                 a1, a2 = a
