@@ -42,6 +42,8 @@ VARIANTS = [
     # ~169 ms device time vs ~190 ms wall — if the gap is dispatch/host
     # bubbles, folding 4 samples into one dispatch recovers most of it
     ("spd4", dict(samples_per_dispatch=4)),
+    ("spd8", dict(samples_per_dispatch=8)),
+    ("spd16", dict(samples_per_dispatch=16)),
     ("pairshared_spd4", dict(visit_pairs2=True, samples_per_dispatch=4)),
     # legacy two-pass rank-2 broad phase (the new default is ONE variadic
     # (min, second-min) reduce — the profile showed XLA rematerializing
@@ -67,6 +69,22 @@ VARIANTS = [
     ("x_halton", dict(_ablate="halton_extra")),
     ("x_bp", dict(_ablate="bp_extra")),
     ("x_sort", dict(_ablate="sort_extra")),
+    # per-bounce key proxies (batch r4-5): the VALID x_bp marginal prices
+    # one exact (N, NC) chain at +11.6 ms while late-bounce populations
+    # have collapsed (shadow_frac b2 = 0.11, live b2 = 0.45) and the
+    # bounce-2 shadow KERNEL is only ~4 ms — swap exact keys for the
+    # free hit-cluster proxy exactly where the population is small
+    ("sh2", dict(shadow_hit_key_from=2)),
+    ("sh1", dict(shadow_hit_key_from=1)),
+    ("bh2", dict(bounce_hit_key_from=2)),
+    ("sh2bh2", dict(shadow_hit_key_from=2, bounce_hit_key_from=2)),
+    ("sh1bh2", dict(shadow_hit_key_from=1, bounce_hit_key_from=2)),
+    # reverse A/B after the sh2 default adoption (batch r4-5: 176.9 vs
+    # 178.8): exact shadow keys everywhere, from the NEW default
+    ("shexact", dict(shadow_hit_key_from=99)),
+    # removal-side shade-gather price (image wrong, timing only):
+    # cross-checks x_shade's +51 ms addition-side reading
+    ("x_shadestub", dict(_ablate="shade_stub")),
 ]
 
 

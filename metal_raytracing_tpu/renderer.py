@@ -59,7 +59,9 @@ __all__ = ["render_sample", "render_rays", "pixel_coords", "accumulate",
 # cost.  Entries: "shade_extra" (one more 20-wide shade-row gather per
 # bounce), "halton_extra" (5 more Halton dims per bounce), "bp_extra"
 # (one more exact (N, NC) nearest-cluster pass per bounce), "sort_extra"
-# (one more 15-operand compaction sort per bounce).
+# (one more 15-operand compaction sort per bounce), "shade_stub"
+# (REPLACE the real shade gather with a constant row — wrong image,
+# removal-side price of the gather).
 ABLATE_EXTRA: frozenset = frozenset()
 
 
@@ -404,6 +406,15 @@ def render_rays(
                 want2 = cfg.sort_key in ("cluster2", "cluster2_nodir",
                                          "cluster3")
                 want3 = cfg.sort_key == "cluster3"
+                # per-bounce proxy override: late-bounce sorts swap the
+                # exact (N, NC) broad phase for the free hit-cluster key
+                # (see RenderConfig.bounce_hit_key_from)
+                bhf = (cfg.bounce_hit_key_from if cfg.bounce_hit_key_from
+                       >= 0 else cfg.max_bounces + cfg.bounce_hit_key_from)
+                use_hit = (cfg.sort_key == "cluster1_hit"
+                           or bounce >= bhf)
+                if use_hit:
+                    want2 = want3 = False
                 # bit budget first: with many clusters (cbits = 12)
                 # the third id would get 0 key bits — skip its extra
                 # (N, NC) rank pass instead of paying it for nothing
@@ -420,7 +431,7 @@ def render_rays(
                 mbits = max(0, avail)
                 want3 = want3 and c3bits > 0
                 use_fused = (cfg.fused_broadphase and not want3
-                             and cfg.sort_key != "cluster1_hit"
+                             and not use_hit
                              and nc_tot <= _tp.BROADPHASE_MAX_CLUSTERS)
                 gk_fused = None
                 if use_fused:
@@ -437,7 +448,7 @@ def render_rays(
                     if want2:
                         cid2 = _tp.decode_cluster_key(k2f, nc_tot)
                     cid3 = None
-                elif cfg.sort_key == "cluster1_hit":
+                elif use_hit:
                     # Cheap proxy broad phase: a bounce ray starts ON
                     # its previous hit, whose cluster box contains the
                     # origin — the exact nearest cluster IS that
@@ -701,7 +712,16 @@ def render_rays(
         # One row gather fetches the hit triangle's affine normal map,
         # albedo, and material id together (separate gathers would each pay
         # the TPU per-index gather cost).
-        row = data.shade_table[tri]
+        if "shade_stub" in ABLATE_EXTRA:
+            # REMOVAL probe (image wrong, timing only): replace the row
+            # gather with a constant broadcast — prices the real gather
+            # by ablation, cross-checking the addition probe shade_extra
+            # (an added gather can break fusions the real one doesn't)
+            row = jnp.broadcast_to(data.shade_table[0],
+                                   (tri.shape[0],
+                                    data.shade_table.shape[1]))
+        else:
+            row = data.shade_table[tri]
         if "shade_extra" in ABLATE_EXTRA:
             # one more full-width 20-wide row gather (indices perturbed so
             # it cannot CSE with the real gather)
@@ -825,6 +845,11 @@ def render_rays(
         # still count as traced shadow rays (the test happened, host-side
         # — same accounting as the former in-kernel seed).
         sk1 = sk2 = socc = None
+        # free hit-cluster shadow key, globally or from a bounce threshold
+        # (see RenderConfig.shadow_hit_key_from)
+        shf = (cfg.shadow_hit_key_from if cfg.shadow_hit_key_from >= 0
+               else cfg.max_bounces + cfg.shadow_hit_key_from)
+        use_shk = cfg.shadow_hit_key or bounce >= shf
         if tracer_kind == "pallas" and data.clu_planes is not None:
             # Fused shadow broad phase (cfg.fused_broadphase): the shadow
             # sort's (N, NC) segment slab and the global-set occlusion in
@@ -841,7 +866,7 @@ def render_rays(
                          and (bounce > 0 or cfg.shadow_sort_primary)
                          and cfg.sort_key.startswith("cluster")
                          and nc_tot_sf <= 4095
-                         and not cfg.shadow_hit_key)
+                         and not use_shk)
             want_gocc = cfg.host_seed and spec.bvh.num_global > 0
             if (cfg.fused_broadphase and (want_skey or want_gocc)
                     and nc_tot_sf <= _tp.BROADPHASE_MAX_CLUSTERS):
@@ -891,7 +916,7 @@ def render_rays(
                 # into kernel_shadow above).
                 from .ops import trace_pallas as _tp
 
-                if cfg.shadow_hit_key:
+                if use_shk:
                     # FREE grouping proxy: the shadow ray starts ON this
                     # bounce's hit triangle, whose cluster box contains
                     # the origin — the segment's nearest slab-hit cluster
@@ -940,7 +965,7 @@ def render_rays(
                         kernel_shadow = kernel_shadow & (scid < nc_tot_s)
                 cbits_s = max(1, nc_tot_s.bit_length())
                 c2bits_s = (min(cbits_s, max(0, 30 - cbits_s - bits_l))
-                            if cfg.shadow_key2 and not cfg.shadow_hit_key
+                            if cfg.shadow_key2 and not use_shk
                             else 0)
                 mbits_s = max(0, 30 - cbits_s - c2bits_s - bits_l)
                 skey = (scid << (30 - cbits_s)) | (light_idx << mbits_s)

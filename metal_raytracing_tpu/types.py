@@ -277,6 +277,28 @@ class RenderConfig:
     # starts ON the hit triangle, inside its cluster's box, so the exact
     # nearest slab-hit cluster is almost always that cluster anyway.
     shadow_hit_key: bool = False
+    # Use the free hit-cluster shadow key only from this bounce on
+    # (99 = never).  Late bounces have small shadow populations
+    # (shadow_frac_by_bounce [0.47, 0.20, 0.11] on dragon) but their
+    # exact (N, NC) key chain still runs full-width — a valid marginal
+    # probe prices one chain at ~+11.6 ms/sample (batch r4-4) while the
+    # whole bounce-2 shadow KERNEL costs only ~4 ms (device profile), so
+    # trading key quality for the chain is favorable exactly where the
+    # population is small.  Keys are ordering-only: image unchanged.
+    # Negative values count from the end (-1 = the last bounce), so the
+    # default generalizes across max_bounces.  Measured (batch r4-5,
+    # dragon 1024² same-process): last-bounce proxy 176.9 vs exact 178.8
+    # (-1.1%); proxying bounce 1 too was neutral vs this (177.1), and
+    # the BOUNCE-key proxy lost (184.5) — adopted for the last bounce's
+    # shadow key only.
+    shadow_hit_key_from: int = -1
+    # Same per-bounce trade for the BOUNCE compaction key: sorts at
+    # bounce >= this use the previous-hit cluster id ("cluster1_hit"
+    # proxy) instead of the exact broad phase (99 = never).  The full
+    # replacement measured a loss in round 3; this restricts it to late
+    # bounces where live_frac has collapsed.  Negative values count from
+    # the end (-1 = the last bounce).
+    bounce_hit_key_from: int = 99
     # Shadow-side second-nearest cluster id below the first in the shadow
     # sort key (the shadow mirror of the cluster2 bounce key); one extra
     # (N, NC) compare+min on keys the broad phase already forms.

@@ -284,11 +284,18 @@ def test_pallas_baked_origin_matches_unbaked(scene_data):
 
 
 @pytest.mark.parametrize("knob", [dict(shadow_hit_key=True),
-                                  dict(shadow_key2=True)])
+                                  dict(shadow_key2=True),
+                                  dict(shadow_hit_key_from=1),
+                                  dict(bounce_hit_key_from=1),
+                                  dict(shadow_hit_key_from=2,
+                                       bounce_hit_key_from=2)])
 def test_pallas_shadow_key_variants_are_pure_permutations(knob):
     """shadow_hit_key (hit-cluster proxy + conservative super-level fold)
     and shadow_key2 (second-nearest id below the first) only reorder /
-    skip-when-proven-clear occlusion queries — the image must match."""
+    skip-when-proven-clear occlusion queries — the image must match.
+    The *_from thresholds restrict the proxy to late bounces (exact keys
+    where populations are large, free keys where they've collapsed) and
+    must equally be pure permutations."""
     import dataclasses
 
     from metal_raytracing_tpu.renderer import Renderer
