@@ -48,6 +48,7 @@ def aggregate(trace_dir: str, samples: int) -> dict:
     dev_pids = {p for p, n in pid_names.items()
                 if re.search(r"TPU|/device|XLA Op", n, re.I)}
     groups: dict = {}
+    ops: dict = {}
     total = 0.0
     for e in events:
         if e.get("ph") != "X" or "dur" not in e:
@@ -66,10 +67,14 @@ def aggregate(trace_dir: str, samples: int) -> dict:
         total += ms
         key = classify(name)
         groups[key] = groups.get(key, 0.0) + ms
+        ops[name] = ops.get(name, 0.0) + ms
+    top = {k: round(v / max(1, samples), 2)
+           for k, v in sorted(ops.items(), key=lambda kv: -kv[1])[:20]}
     return {"total_ms": total, "per_sample_ms": total / max(1, samples),
             "groups_ms_per_sample":
                 {k: round(v / max(1, samples), 2)
-                 for k, v in sorted(groups.items(), key=lambda kv: -kv[1])}}
+                 for k, v in sorted(groups.items(), key=lambda kv: -kv[1])},
+            "top_ops_ms_per_sample": top}
 
 
 def classify(name: str) -> str:

@@ -41,6 +41,7 @@ VARIANTS = [
     # k samples per dispatch on the LARGE scene: the r4 profile shows
     # ~169 ms device time vs ~190 ms wall — if the gap is dispatch/host
     # bubbles, folding 4 samples into one dispatch recovers most of it
+    ("spd2", dict(samples_per_dispatch=2)),
     ("spd4", dict(samples_per_dispatch=4)),
     ("spd8", dict(samples_per_dispatch=8)),
     ("spd16", dict(samples_per_dispatch=16)),
@@ -85,6 +86,10 @@ VARIANTS = [
     # removal-side shade-gather price (image wrong, timing only):
     # cross-checks x_shade's +51 ms addition-side reading
     ("x_shadestub", dict(_ablate="shade_stub")),
+    # primary-shadow re-sort under the round-4 defaults (last measured
+    # neutral-positive in the round-2 config; primary any is now the
+    # 3rd-biggest kernel at 14.8 ms with unsorted camera-order rays)
+    ("ssp", dict(shadow_sort_primary=True)),
 ]
 
 

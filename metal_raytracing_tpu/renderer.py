@@ -1353,8 +1353,12 @@ class Renderer:
         self.ray_totals = jnp.zeros((2,), jnp.float32)
         # samples per jitted dispatch (0 = auto: small scenes are
         # dispatch-latency-bound; see RenderConfig.samples_per_dispatch)
+        # batch r4-6 (plane_sphere 256², 32 samples): spd 1/4/8/16 =
+        # 6.4/6.2/6.0/6.2 ms/sample — 8 edges out 4 on the smallest
+        # scenes; 512² keeps 4 (unmeasured beyond, diminishing returns)
         self.samples_per_dispatch = cfg.samples_per_dispatch or (
-            4 if cfg.num_pixels <= 512 * 512 else 1)
+            8 if cfg.num_pixels <= 256 * 256
+            else 4 if cfg.num_pixels <= 512 * 512 else 1)
 
     def reset(self) -> None:
         """Restart progressive accumulation (zero the average, frame 0) —
