@@ -69,6 +69,8 @@ _ANCHOR_OVERRIDES = dict(
     shadow_ray_block_last=0,
     sort_primary=False,
     visit_pairs2=False,
+    shadow_hit_key_from=99,
+    bounce_hit_key_from=99,
 )
 
 

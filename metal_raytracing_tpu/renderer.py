@@ -1355,10 +1355,13 @@ class Renderer:
         # dispatch-latency-bound; see RenderConfig.samples_per_dispatch)
         # batch r4-6 (plane_sphere 256², 32 samples): spd 1/4/8/16 =
         # 6.4/6.2/6.0/6.2 ms/sample — 8 edges out 4 on the smallest
-        # scenes; 512² keeps 4 (unmeasured beyond, diminishing returns)
+        # scenes.  Large scenes: spd2 178.1 vs spd1 180.4 on dragon
+        # 1024² (batch r4-7, same process) while spd4 measured WORSE
+        # (189.9 vs 186.0, batch r4-2) — 2 amortizes the ~2 ms dispatch
+        # without spd4's loss (suspected live-range/loop overhead).
         self.samples_per_dispatch = cfg.samples_per_dispatch or (
             8 if cfg.num_pixels <= 256 * 256
-            else 4 if cfg.num_pixels <= 512 * 512 else 1)
+            else 4 if cfg.num_pixels <= 512 * 512 else 2)
 
     def reset(self) -> None:
         """Restart progressive accumulation (zero the average, frame 0) —
