@@ -288,3 +288,20 @@ def test_samples_per_dispatch_bit_identical(small_scene):
     # counters agree too (same rays traced either way)
     assert r1.total_closest_rays == r4.total_closest_rays
     assert r1.total_shadow_rays == r4.total_shadow_rays
+
+
+def test_auto_samples_per_dispatch_tiers(small_scene):
+    """samples_per_dispatch=0 resolves by scene size: 8 for <= 256^2,
+    4 for <= 512^2, 2 beyond (measured tiers, BASELINE.md batch
+    r4-6/r4-7) — the CLI's save-every stepping depends on the resolved
+    value, so the tiers are locked here."""
+    import dataclasses
+
+    for side, want in ((128, 8), (256, 8), (400, 4), (512, 4),
+                       (600, 2), (1024, 2)):
+        cfg = dataclasses.replace(_cfg(tracer="bvh"), width=side,
+                                  height=side, samples_per_dispatch=0)
+        assert Renderer(small_scene, cfg).samples_per_dispatch == want, side
+    # explicit values pass through untouched
+    cfg = dataclasses.replace(_cfg(tracer="bvh"), samples_per_dispatch=3)
+    assert Renderer(small_scene, cfg).samples_per_dispatch == 3
