@@ -90,6 +90,10 @@ VARIANTS = [
     # neutral-positive in the round-2 config; primary any is now the
     # 3rd-biggest kernel at 14.8 ms with unsorted camera-order rays)
     ("ssp", dict(shadow_sort_primary=True)),
+    # round-5 scouting under the FINAL round-4 defaults: shadow_key2 on
+    # the remaining exact shadow chains (b0/b1; lost under r3 defaults),
+    # and sh1 (b1 shadow proxy too; batch r4-5 read it neutral vs sh2)
+    ("sk2", dict(shadow_key2=True)),
 ]
 
 
