@@ -761,6 +761,81 @@ def nearest_cluster(o, d, mask, clu, spec: BVHSpec, max_t=None,
     return cid
 
 
+def nearest_cluster_pair(o, d_sh, max_t_sh, mask_sh, d_nb, mask_nb, clu,
+                         spec: BVHSpec):
+    """SHADOW rank-1 + NEXT-BOUNCE rank-2 nearest clusters in ONE fused
+    (N, NC) sweep over SHARED origins.
+
+    At every bounce the shadow segment and the next bounce ray leave the
+    SAME offset hit point (renderer: ``shadow_o`` == the next bounce's
+    ``o`` when refraction is off), so the two slab chains share all six
+    per-axis (box - o) subtractions.  Emitting all three reduction
+    results from ONE variadic ``lax.reduce`` puts both chains into one
+    XLA fusion where the shared subtrahends are computed once — the
+    rank-2 single-pass trick (batch r4-4, -3.7%) applied across CHAINS
+    rather than ranks.  All combiners are exact min/max forms with the
+    packing of :func:`nearest_cluster`, so results are BIT-IDENTICAL to
+    the two separate calls (tests/test_broadphase.py).
+
+    Returns ``(scid, cid, nckey, cid2)`` equal to::
+
+        (nearest_cluster(o, d_sh, mask_sh, clu, spec, max_t=max_t_sh),
+         *nearest_cluster(o, d_nb, mask_nb, clu, spec, return_key=True,
+                          return_second=1))
+    """
+    ns, s, _ = clu.shape
+    nc = ns * s
+    boxes = clu.reshape(nc, 6)
+    inv_s = _safe_inv_row(d_sh)
+    inv_b = _safe_inv_row(d_nb)
+    # shared (N, NC) subtrahends — computed once for both chains
+    subs = [(boxes[None, :, a] - o[:, a:a + 1],
+             boxes[None, :, a + 3] - o[:, a:a + 1]) for a in range(3)]
+
+    def chain(inv):
+        tn = tf = None
+        for a in range(3):
+            lo_s, hi_s = subs[a]
+            t0 = lo_s * inv[:, a:a + 1]
+            t1 = hi_s * inv[:, a:a + 1]
+            lo_a = jnp.minimum(t0, t1)
+            hi_a = jnp.maximum(t0, t1)
+            tn = lo_a if tn is None else jnp.maximum(tn, lo_a)
+            tf = hi_a if tf is None else jnp.minimum(tf, hi_a)
+        return tn, tf
+
+    ok_box = (boxes[:, 3] >= boxes[:, 0])[None, :]
+    idm = (1 << 12) - 1
+    sent = jnp.int32((np.float32(BIG_T).view(np.int32).item() & ~idm) | idm)
+    ids = jnp.arange(nc, dtype=jnp.int32)[None, :]
+
+    def pack(tn_tf, mask, max_t):
+        tn, tf = tn_tf
+        hit = (tn <= tf) & (tf >= 0.0) & ok_box & mask[:, None]
+        if max_t is not None:
+            hit = hit & (tn <= max_t[:, None])
+        ti = jax.lax.bitcast_convert_type(jnp.maximum(tn, 0.0), jnp.int32)
+        return jnp.where(hit, (ti & ~idm) | ids, sent)
+
+    skey = pack(chain(inv_s), mask_sh, max_t_sh)
+    bkey = pack(chain(inv_b), mask_nb, None)
+
+    def _comb(x, y):
+        s1, b1, c1 = x
+        s2, b2, c2 = y
+        return (jnp.minimum(s1, s2),
+                jnp.minimum(b1, b2),
+                jnp.minimum(jnp.maximum(b1, b2), jnp.minimum(c1, c2)))
+
+    sbest, bbest, bsec = jax.lax.reduce(
+        (skey, bkey, jnp.full_like(bkey, sent)),
+        (jnp.int32(sent), jnp.int32(sent), jnp.int32(sent)), _comb, (1,))
+    scid = jnp.where(sbest == sent, jnp.int32(nc), sbest & idm)
+    cid = jnp.where(bbest == sent, jnp.int32(nc), bbest & idm)
+    cid2 = jnp.where(bsec == sent, jnp.int32(nc), bsec & idm)
+    return scid, cid, bbest, cid2
+
+
 def _dot3(v, rows, r0):
     """(N, 3) x three (T,) plane-row components -> (N, T), as explicit
     VPU broadcast mul/adds.  The ``v @ rows[r0:r0+3]`` matmul form lowers

@@ -125,3 +125,24 @@ def test_rank2_single_pass_reduce_matches_two_pass(built):
             TP.RANK2_TWO_PASS = False
         for a, b in zip(ref, got):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_nearest_cluster_pair_matches_separate_calls(built):
+    """nearest_cluster_pair (shadow rank-1 + bounce rank-2 in ONE
+    variadic reduce over shared (box - o) subtrahends) must equal the
+    two separate nearest_cluster calls BIT-EXACTLY — shared origins,
+    independent directions/masks, shadow side bounded by max_t."""
+    data, spec = built
+    o, d_sh, mask_sh, maxt = _rays(512, seed=21)
+    _, d_nb, mask_nb, _ = _rays(512, seed=22)  # same origins, new dirs
+    scid, cid, nckey, cid2 = TP.nearest_cluster_pair(
+        o, d_sh, maxt, mask_sh, d_nb, mask_nb, data.clu_planes, spec.bvh)
+    s_ref = TP.nearest_cluster(o, d_sh, mask_sh, data.clu_planes,
+                               spec.bvh, max_t=maxt)
+    c_ref, k_ref, c2_ref = TP.nearest_cluster(
+        o, d_nb, mask_nb, data.clu_planes, spec.bvh, return_key=True,
+        return_second=1)
+    np.testing.assert_array_equal(np.asarray(scid), np.asarray(s_ref))
+    np.testing.assert_array_equal(np.asarray(cid), np.asarray(c_ref))
+    np.testing.assert_array_equal(np.asarray(nckey), np.asarray(k_ref))
+    np.testing.assert_array_equal(np.asarray(cid2), np.asarray(c2_ref))
