@@ -71,7 +71,25 @@ _ANCHOR_OVERRIDES = dict(
     visit_pairs2=False,
     shadow_hit_key_from=99,
     bounce_hit_key_from=99,
+    bvh_alpha=2.0,
+    broadphase_block=256,
+    live_from_bounce=1,
+    # round-5 knobs, pinned OFF (round-3 equivalent)
+    rank_trace=0,
+    pair_broadphase=False,
 )
+
+# RenderConfig fields that are IMAGE-SEMANTICS or observability only — they
+# change what is rendered (or what is recorded), never how fast the pinned
+# anchor configuration runs, so they are exempt from anchor pinning.  Every
+# other RenderConfig field MUST appear in _ANCHOR_OVERRIDES; a test
+# (tests/test_bench_anchor.py) enforces the partition so a new perf knob
+# that isn't pinned fails CI the commit it lands (VERDICT round 4 weak #3).
+_ANCHOR_NEUTRAL = frozenset({
+    "width", "height", "spp", "max_bounces", "rand_offset_bits", "seed",
+    "enable_specular", "enable_emission", "enable_refraction",
+    "enable_textures", "texture_filter", "env_map", "telemetry",
+})
 
 
 def _anchor_config(w, h, cls):
@@ -185,6 +203,7 @@ def main() -> int:
     print(json.dumps(line), flush=True)
     print(diag, file=sys.stderr)
 
+    ladder_mrays = {scene_name: line["value"]}
     for name in ladder:
         if name == scene_name:
             continue
@@ -194,6 +213,7 @@ def main() -> int:
                                         telemetry=True)
             print(json.dumps(lline), flush=True)
             print(ldiag, file=sys.stderr)
+            ladder_mrays[name] = lline["value"]
         except Exception as e:  # a ladder failure must not mask the headline
             print(f"# ladder scene {name} failed: {e}", file=sys.stderr)
     if ladder:
@@ -202,7 +222,12 @@ def main() -> int:
         # round-3 artifact silently recorded the last LADDER scene
         # (coatball) instead of the dragon headline, breaking the
         # cross-round parsed.value series (round-4 review finding).
-        print(json.dumps(dict(line, headline_reemit=True)), flush=True)
+        # The compact `ladder` dict rides IN the same final line so the
+        # driver's tail capture can never truncate away the small-scene
+        # configs again (VERDICT round 4 weak #4) while the parsed
+        # headline value stays the dragon number.
+        print(json.dumps(dict(line, headline_reemit=True,
+                              ladder=ladder_mrays)), flush=True)
     return 0
 
 

