@@ -25,6 +25,10 @@ def main() -> int:
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--samples", type=int, default=3)
     ap.add_argument("--segments", type=int, default=700)
+    # rank-directed walk (RenderConfig.rank_trace): sorted-by-candidate
+    # tiles make the streamed per-visit DMA schedule near-sequential —
+    # the VERDICT r4 #7 lever for the streamed path
+    ap.add_argument("--rank", type=int, default=0)
     args = ap.parse_args()
 
     from metal_raytracing_tpu.utils.cache import enable_compilation_cache
@@ -55,7 +59,8 @@ def main() -> int:
                                          transform=inst.transform)
 
     cfg = RenderConfig(width=args.size, height=args.size, max_bounces=3,
-                       tracer="pallas", samples_per_dispatch=1)
+                       tracer="pallas", samples_per_dispatch=1,
+                       rank_trace=args.rank)
     t0 = time.time()
     r = Renderer(scene, cfg)
     build_s = time.time() - t0

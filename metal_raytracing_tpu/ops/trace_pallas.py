@@ -665,7 +665,8 @@ def bake_origin(sup, clu, tri, origin):
 
 
 def nearest_cluster(o, d, mask, clu, spec: BVHSpec, max_t=None,
-                    return_key: bool = False, return_second: bool = False):
+                    return_key: bool = False, return_second: bool = False,
+                    return_packed: bool = False):
     """Per-ray id of the NEAREST slab-hit leaf cluster (host-side broad
     phase for the ``cluster1`` bounce sort key).
 
@@ -713,9 +714,49 @@ def nearest_cluster(o, d, mask, clu, spec: BVHSpec, max_t=None,
     if return_second:
         # second(/third/...)-nearest clusters (the ``cluster2``/
         # ``cluster3`` sort keys).  Unique id low bits make keys distinct
-        # per cluster, so ranks are well-defined.
+        # per cluster, so ranks are well-defined.  ``return_packed``
+        # returns the extras as PACKED (chopped entry-t | id) keys instead
+        # of decoded ids — the rank-directed traversal consumes entry
+        # distances for per-lane culling and resolution (rank_trace).
         n_extra = int(return_second)
         extras = []
+
+        def _decode(k):
+            if return_packed:
+                return k
+            return jnp.where(k == sent, jnp.int32(ns * s), k & idm)
+
+        if n_extra == 2 and not RANK2_TWO_PASS:
+            # Single-pass variadic (min, 2nd-min, 3rd-min): the combiner
+            # is the exact 3-smallest-of-union merge network
+            #   m1 = min(a1, b1)
+            #   m2 = min(a2, b2, max(a1, b1))
+            #   m3 = min(a3, b3, max(a1, b2), max(a2, b1))
+            # (classic sorted-merge identity; both inputs are sorted
+            # triples, the init (sent, sent, sent) and the per-element
+            # (key, sent, sent) trivially so).  Exact and associative —
+            # identical results to the two-pass re-min form, without XLA
+            # rematerializing the (N, NC) slab chain twice more.
+            def _comb3(a, b):
+                a1, a2, a3 = a
+                b1, b2, b3 = b
+                m1 = jnp.minimum(a1, b1)
+                m2 = jnp.minimum(jnp.minimum(a2, b2), jnp.maximum(a1, b1))
+                m3 = jnp.minimum(
+                    jnp.minimum(a3, b3),
+                    jnp.minimum(jnp.maximum(a1, b2), jnp.maximum(a2, b1)))
+                return m1, m2, m3
+
+            full = jnp.full_like(key, sent)
+            best, cur2, cur3 = jax.lax.reduce(
+                (key, full, full),
+                (jnp.int32(sent), jnp.int32(sent), jnp.int32(sent)),
+                _comb3, (1,))
+            cid = jnp.where(best == sent, jnp.int32(ns * s), best & idm)
+            extras = [_decode(cur2), _decode(cur3)]
+            if return_key:
+                return (cid, best, *extras)
+            return (cid, *extras)
         if n_extra == 1 and not RANK2_TWO_PASS:
             # ONE variadic reduce computes (min, second-min) together:
             # the two-pass form re-mins `where(key == best, sent, key)`,
@@ -740,8 +781,7 @@ def nearest_cluster(o, d, mask, clu, spec: BVHSpec, max_t=None,
                 (key, jnp.full_like(key, sent)),
                 (jnp.int32(sent), jnp.int32(sent)), _comb, (1,))
             cid = jnp.where(best == sent, jnp.int32(ns * s), best & idm)
-            extras.append(jnp.where(cur == sent, jnp.int32(ns * s),
-                                    cur & idm))
+            extras.append(_decode(cur))
             if return_key:
                 return (cid, best, *extras)
             return (cid, *extras)
@@ -749,8 +789,7 @@ def nearest_cluster(o, d, mask, clu, spec: BVHSpec, max_t=None,
         for _ in range(n_extra):
             kk = jnp.where(kk == cur[:, None], sent, kk)
             cur = jnp.min(kk, axis=1)
-            extras.append(jnp.where(cur == sent, jnp.int32(ns * s),
-                                    cur & idm))
+            extras.append(_decode(cur))
         if return_key:
             return (cid, best, *extras)
         return (cid, *extras)
@@ -762,9 +801,10 @@ def nearest_cluster(o, d, mask, clu, spec: BVHSpec, max_t=None,
 
 
 def nearest_cluster_pair(o, d_sh, max_t_sh, mask_sh, d_nb, mask_nb, clu,
-                         spec: BVHSpec):
-    """SHADOW rank-1 + NEXT-BOUNCE rank-2 nearest clusters in ONE fused
-    (N, NC) sweep over SHARED origins.
+                         spec: BVHSpec, ranks: int = 2,
+                         return_packed: bool = False):
+    """SHADOW rank-1 + NEXT-BOUNCE rank-``ranks`` nearest clusters in ONE
+    fused (N, NC) sweep over SHARED origins.
 
     At every bounce the shadow segment and the next bounce ray leave the
     SAME offset hit point (renderer: ``shadow_o`` == the next bounce's
@@ -777,12 +817,19 @@ def nearest_cluster_pair(o, d_sh, max_t_sh, mask_sh, d_nb, mask_nb, clu,
     packing of :func:`nearest_cluster`, so results are BIT-IDENTICAL to
     the two separate calls (tests/test_broadphase.py).
 
-    Returns ``(scid, cid, nckey, cid2)`` equal to::
+    Returns ``(scid, cid, nckey, cid2[, cid3])`` equal to::
 
         (nearest_cluster(o, d_sh, mask_sh, clu, spec, max_t=max_t_sh),
          *nearest_cluster(o, d_nb, mask_nb, clu, spec, return_key=True,
-                          return_second=1))
+                          return_second=ranks - 1))
+
+    ``ranks=3`` additionally merges the bounce chain's third-nearest via
+    the exact sorted-merge combiner (see :func:`nearest_cluster`); with
+    ``return_packed`` the bounce extras come back as packed
+    (chopped entry-t | id) keys for the rank-directed traversal
+    (rank_trace) instead of decoded ids.
     """
+    assert ranks in (2, 3)
     ns, s, _ = clu.shape
     nc = ns * s
     boxes = clu.reshape(nc, 6)
@@ -820,6 +867,31 @@ def nearest_cluster_pair(o, d_sh, max_t_sh, mask_sh, d_nb, mask_nb, clu,
     skey = pack(chain(inv_s), mask_sh, max_t_sh)
     bkey = pack(chain(inv_b), mask_nb, None)
 
+    def _dec(k):
+        if return_packed:
+            return k
+        return jnp.where(k == sent, jnp.int32(nc), k & idm)
+
+    if ranks == 3:
+        # shadow min + bounce 3-smallest merge in one variadic reduce
+        def _comb4(x, y):
+            s1, a1, a2, a3 = x
+            s2, b1, b2, b3 = y
+            m1 = jnp.minimum(a1, b1)
+            m2 = jnp.minimum(jnp.minimum(a2, b2), jnp.maximum(a1, b1))
+            m3 = jnp.minimum(
+                jnp.minimum(a3, b3),
+                jnp.minimum(jnp.maximum(a1, b2), jnp.maximum(a2, b1)))
+            return jnp.minimum(s1, s2), m1, m2, m3
+
+        full = jnp.full_like(bkey, sent)
+        sbest, bbest, bsec, bthr = jax.lax.reduce(
+            (skey, bkey, full, full),
+            (jnp.int32(sent),) * 4, _comb4, (1,))
+        scid = jnp.where(sbest == sent, jnp.int32(nc), sbest & idm)
+        cid = jnp.where(bbest == sent, jnp.int32(nc), bbest & idm)
+        return scid, cid, bbest, _dec(bsec), _dec(bthr)
+
     def _comb(x, y):
         s1, b1, c1 = x
         s2, b2, c2 = y
@@ -832,8 +904,7 @@ def nearest_cluster_pair(o, d_sh, max_t_sh, mask_sh, d_nb, mask_nb, clu,
         (jnp.int32(sent), jnp.int32(sent), jnp.int32(sent)), _comb, (1,))
     scid = jnp.where(sbest == sent, jnp.int32(nc), sbest & idm)
     cid = jnp.where(bbest == sent, jnp.int32(nc), bbest & idm)
-    cid2 = jnp.where(bsec == sent, jnp.int32(nc), bsec & idm)
-    return scid, cid, bbest, cid2
+    return scid, cid, bbest, _dec(bsec)
 
 
 def _dot3(v, rows, r0):
@@ -1060,7 +1131,8 @@ def _closest_kernel(*refs,
                     s_per: int, c_size: int, r: int, tb: int,
                     g_base: int = 0, g_chunks: int = 0, n_global: int = 0,
                     g_planes: tuple = (), use_counts: bool = False,
-                    host_seed: bool = False, baked: bool = False,
+                    host_seed: bool = False, host_seed_base: bool = False,
+                    baked: bool = False,
                     pair_visits: bool = False, pair_shared: bool = False,
                     count_visits: bool = False):
   # baked=True: shared-origin rays against bake_origin()-shifted planes —
@@ -1068,9 +1140,17 @@ def _closest_kernel(*refs,
   # (slab subtractions, n.o/U.o/V.o in the dense test).
   nray = 4 if baked else 7
   ray_refs = refs[:nray]  # (ox oy oz) dx dy dz maskf
-  (sup_ref, clu_ref, tri_ref, gtri_ref, cnt_ref, seed_ref, t_out_ref,
-   tri_out_ref) = refs[nray:nray + 8]
-  rest = refs[nray + 8:]
+  (sup_ref, clu_ref, tri_ref, gtri_ref, cnt_ref,
+   seed_ref) = refs[nray:nray + 6]
+  i_ref = nray + 6
+  # per-lane seed BASE rows (rank-trace fallback: the host seed is the
+  # rank walk's best, whose winning cluster base varies per lane)
+  seed_base_ref = None
+  if host_seed_base:
+      seed_base_ref = refs[i_ref]
+      i_ref += 1
+  t_out_ref, tri_out_ref = refs[i_ref:i_ref + 2]
+  rest = refs[i_ref + 2:]
   # Optional telemetry output: clusters visited per ray tile (the traversal
   # cost driver — VERDICT.md round 1 asks for p50/p90 in the bench).
   if count_visits:
@@ -1284,7 +1364,8 @@ def _closest_kernel(*refs,
         # host side (renderer._global_closest_seed) — one (1, R) row
         # read replaces the whole per-tile in-kernel seed test
         key0 = seed_ref[t, :][None, :]
-        base0 = jnp.full((1, r), g_base, jnp.int32)
+        base0 = (seed_base_ref[t, :][None, :] if host_seed_base
+                 else jnp.full((1, r), g_base, jnp.int32))
     elif n_global:
         key0, base0 = _seed_rows_closest(gts, g_base, o_rows, d_rows,
                                          None, mask_row, r)
@@ -1308,6 +1389,234 @@ def _closest_kernel(*refs,
         vis_ref[t, 0, :] = jnp.full((r,), 1.0, jnp.float32) * nvis
 
   jax.lax.fori_loop(0, tb, tile_body, jnp.int32(0))
+
+
+def _rank_closest_kernel(*refs, ranks: int, c_size: int, r: int, tb: int,
+                         g_base: int = 0, use_counts: bool = False,
+                         host_seed: bool = False,
+                         count_visits: bool = False):
+  """Rank-directed cluster-major closest walk (RenderConfig.rank_trace;
+  VERDICT r4 #1 — the non-incremental traversal restructure).
+
+  Each lane carries its ``ranks`` nearest candidate clusters as packed
+  (chopped entry-t | cluster id) keys straight from the exact host broad
+  phase (:func:`nearest_cluster`, 12 id bits) — the same broad phase the
+  compaction sort key leads with, so a tile's lanes mostly agree on them.
+  The walk is the minimal loop the hierarchy reduces to once candidates
+  are precomputed: take the packed MIN over the pending rows (global
+  near-to-far order for free), dense-test that one cluster against ALL
+  lanes (extra coverage for lanes that didn't ask is conservative — the
+  packed-key min is order-independent and every dense hit is a true hit),
+  retire the id from the pending rows, and cull pending entries whose
+  chopped entry-t can no longer beat the lane's chopped best.  No super
+  level, no in-kernel slab tests, no score extract-min over (S, R)
+  columns — the per-tile cost is ~#distinct(candidate ids in the tile)
+  dense tests plus the ray transpose.
+
+  The walk only covers ranks 1..K; the CALLER certifies each lane against
+  the rank-(K+1) entry key and re-traces uncertified lanes with the full
+  hierarchical kernel seeded by this walk's best (renderer.bounce_tail).
+  Outputs are (packed best key, winning cluster base) rows — the caller
+  decodes t/tri and builds the fallback seed from them directly.
+
+  Replaces the same hardware traversal as the hierarchical kernel
+  (reference: Raytracing.metal:244)."""
+  ray_refs = refs[:7]  # ox oy oz dx dy dz maskf
+  key_refs = refs[7:7 + ranks]
+  tri_ref, cnt_ref, seed_ref = refs[7 + ranks:10 + ranks]
+  rest = list(refs[10 + ranks:])
+  key_out_ref, base_out_ref = rest[0], rest[1]
+  rest = rest[2:]
+  vis_ref = None
+  if count_visits:
+      vis_ref, rest = rest[0], rest[1:]
+  tri_scratch, tri_sem = rest if rest else (None, None)
+
+  def tile_body(t, _carry):
+    any_live = jnp.max(ray_refs[6][t, :][None, :]) > 0.0
+
+    @pl.when(jnp.logical_not(any_live))
+    def _():
+        key_out_ref[t, 0, :] = jnp.full((r,), _INIT_KEY, jnp.int32)
+        base_out_ref[t, 0, :] = jnp.zeros((r,), jnp.int32)
+        if count_visits:
+            vis_ref[t, 0, :] = jnp.zeros((r,), jnp.float32)
+
+    @pl.when(any_live)
+    def _():
+        _live_tile_body(t)
+    return _carry
+
+  def _live_tile_body(t):
+    rows = [ray_refs[i][t, :] for i in range(7)]
+    # single packed (8, R) -> (R, 8) transpose for the dense-test columns
+    stacked = jnp.stack(rows + [rows[-1]], axis=0)
+    cols = stacked.T
+    ocol = tuple(cols[:, i:i + 1] for i in range(3))
+    dcol = tuple(cols[:, i:i + 1] for i in range(3, 6))
+    mask_row = rows[6][None, :] > 0.0
+    mask_col = cols[:, 6:7] > 0.0
+    lane = jax.lax.broadcasted_iota(jnp.int32, (r, CHUNK), 1)
+
+    if host_seed:
+        key0 = seed_ref[t, :][None, :]
+        base0 = jnp.full((1, r), g_base, jnp.int32)
+    else:
+        key0 = jnp.full((1, r), _INIT_KEY, jnp.int32)
+        base0 = jnp.zeros((1, r), jnp.int32)
+
+    def entry_t(pk):
+        # chopped slab-entry distance of a pending packed key
+        return jax.lax.bitcast_convert_type(pk & ~_NC_IDM, jnp.float32)
+
+    # pending candidate rows: masked lanes hold the sentinel; entries the
+    # SEED already beats are culled at init (the sort-level miss fold
+    # only covers rank 1, and only under cluster_miss_fold)
+    bt0 = _key_to_t(key0)
+    pend0 = tuple(
+        jnp.where(mask_row & (entry_t(pk) < bt0), pk, _NC_SENT)
+        for pk in (key_refs[k][t, :][None, :] for k in range(ranks)))
+
+    def cond(st):
+        pend = st[0]
+        m = pend[0]
+        for pk in pend[1:]:
+            m = jnp.minimum(m, pk)
+        return jnp.min(m) < _NC_SENT
+
+    def body(st):
+        pend, best_key, best_base, nvis = st
+        m = pend[0]
+        for pk in pend[1:]:
+            m = jnp.minimum(m, pk)
+        cid = jnp.min(m) & _NC_IDM  # nearest pending cluster, any lane
+        base = pl.multiple_of(cid * c_size, 128)
+        if tri_scratch is not None:
+            _stream_tri(tri_ref, base, c_size, tri_scratch, tri_sem)
+        cnt = cnt_ref[cid] if use_counts else None
+        acc = _dense_closest(tri_ref, base, c_size, tri_scratch, ocol,
+                             dcol, mask_col, lane, r, cnt)
+        vkey = jnp.min(acc, axis=1, keepdims=True).T  # one lane reduce
+        upd = vkey < best_key
+        best_key = jnp.where(upd, vkey, best_key)
+        best_base = jnp.where(upd, base, best_base)
+        bt = _key_to_t(best_key)
+        # retire the visited id everywhere; cull entries whose chopped
+        # entry can no longer produce a strictly smaller chopped t
+        # (true hit t >= entry >= chopped entry >= chopped best =>
+        # chopped(t) >= chopped best — only tie-winner identity can
+        # differ, exactly as in the hierarchical kernel's culling)
+        pend = tuple(
+            jnp.where(((pk & _NC_IDM) == cid) | (entry_t(pk) >= bt),
+                      _NC_SENT, pk)
+            for pk in pend)
+        return (pend, best_key, best_base, nvis + 1.0)
+
+    init = (pend0, key0, base0, jnp.zeros((), jnp.float32))
+    _, best_key, best_base, nvis = jax.lax.while_loop(cond, body, init)
+    key_out_ref[t, 0, :] = best_key[0, :]
+    base_out_ref[t, 0, :] = best_base[0, :]
+    if count_visits:
+        vis_ref[t, 0, :] = jnp.full((r,), 1.0, jnp.float32) * nvis
+
+  jax.lax.fori_loop(0, tb, tile_body, jnp.int32(0))
+
+
+def trace_closest_rank(o, d, mask, rank_keys, tri, spec: BVHSpec,
+                       seed_key=None, block: int = 128,
+                       tiles_per_step: int = 8, stream=None, counts=None,
+                       count_visits: bool = False):
+    """Rank-directed closest-hit walk over precomputed candidate keys.
+
+    ``rank_keys``: list of K (N,) i32 packed (chopped entry-t | id) keys,
+    ranks 1..K from :func:`nearest_cluster` ``return_packed`` (K >= 1).
+    ``seed_key``: optional (N,) packed host global-seed keys
+    (:func:`global_seed_keys`) — REQUIRED when the scene has a global
+    set, since this kernel has no in-kernel seed path.
+
+    Returns ``(key, base[, visits])``: the packed best (t | in-cluster
+    idx) and the winning cluster's triangle base per ray — decode with::
+
+        found = key < _MISS_KEY
+        t     = _key_to_t(key)
+        tri   = where(found, base + (key & IDX_MASK), -1)
+
+    The result covers ONLY the rank-1..K clusters (plus the seed); the
+    caller must certify each ray against the rank-(K+1) entry and fall
+    back for the rest (see RenderConfig.rank_trace).
+    """
+    _check_cluster_alignment(spec)
+    assert not (spec.num_global > 0 and seed_key is None), (
+        "trace_closest_rank needs the host global seed on scenes with a "
+        "global set")
+    n = (d[0] if isinstance(d, (tuple, list)) else d).shape[0]
+    assert n % block == 0, f"ray count {n} not a multiple of block {block}"
+    ray_comps, nb = _pack_rays(o, d, mask, None, block)
+    tb = _tiles_per_step(nb, tiles_per_step)
+    n_steps = nb // tb
+    if stream is None:
+        stream = _should_stream(tri)
+    if stream:
+        tri = jnp.pad(tri, ((0, 16 - N_TRI_PLANES), (0, 0)))
+    host_seed = seed_key is not None
+    seed = (seed_key.astype(jnp.int32).reshape(nb, block) if host_seed
+            else jnp.zeros((1, 1), jnp.int32))
+    use_counts = counts is not None and spec.partial_clusters
+    cnt = (jnp.asarray(counts, jnp.int32) if use_counts
+           else jnp.zeros((1,), jnp.int32))
+    keys = [jnp.asarray(k, jnp.int32).reshape(nb, block) for k in rank_keys]
+
+    kernel = functools.partial(
+        _rank_closest_kernel, ranks=len(keys), c_size=spec.cluster_size,
+        r=block, tb=tb, g_base=spec.global_base, use_counts=use_counts,
+        host_seed=host_seed, count_visits=count_visits)
+    row_spec = pl.BlockSpec((tb, block), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_shapes = [jax.ShapeDtypeStruct((nb, 1, block), jnp.int32),
+                  jax.ShapeDtypeStruct((nb, 1, block), jnp.int32)]
+    if count_visits:
+        out_shapes.append(jax.ShapeDtypeStruct((nb, 1, block), jnp.float32))
+    out_spec = pl.BlockSpec((tb, 1, block), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    grid_spec = pl.GridSpec(
+        grid=(n_steps,),
+        in_specs=[row_spec for _ in ray_comps]
+        + [row_spec for _ in keys]
+        + [pl.BlockSpec(memory_space=pl.ANY if stream else pltpu.VMEM),
+           pl.BlockSpec(memory_space=pltpu.SMEM),  # cluster counts
+           (row_spec if host_seed
+            else pl.BlockSpec(memory_space=pltpu.VMEM))],
+        out_specs=tuple(out_spec for _ in out_shapes),
+        scratch_shapes=(
+            [pltpu.VMEM((16, spec.cluster_size), jnp.float32),
+             pltpu.SemaphoreType.DMA(())] if stream else []),
+    )
+    out = pl.pallas_call(
+        kernel, grid_spec=grid_spec, out_shape=tuple(out_shapes),
+        interpret=_should_interpret(),
+    )(*ray_comps, *keys, tri, cnt, seed)
+    key = out[0].reshape(n)
+    base = out[1].reshape(n)
+    if count_visits:
+        return key, base, out[2][:, 0, 0]
+    return key, base
+
+
+def rank_certificate(key, rank_next_key):
+    """Which rays the rank walk PROVABLY resolved.
+
+    A ray is certified when no cluster beyond its tested ranks can beat
+    its best: chopped-best + one chop step <= the rank-(K+1) chopped
+    entry (ranks are entry-t sorted, and a hit inside a box satisfies
+    t >= box entry), or there is no rank-(K+1) candidate at all.  Both
+    sides are chopped-DOWN values; the one-step margin makes the float
+    compare conservative (a false negative only ever adds a ray to the
+    fallback, never corrupts the image)."""
+    t_plus = jax.lax.bitcast_convert_type(
+        (key & ~IDX_MASK) + (1 << IDX_BITS), jnp.float32)
+    next_t = jax.lax.bitcast_convert_type(
+        rank_next_key & ~jnp.int32(_NC_IDM), jnp.float32)
+    return (rank_next_key == jnp.int32(_NC_SENT)) | (t_plus <= next_t)
 
 
 def _any_kernel(*refs, s_per: int, c_size: int, r: int, tb: int,
@@ -1711,13 +2020,20 @@ def _tiles_per_step(nb: int, want: int = 8) -> int:
 
 def _pallas_trace(kernel, out_shapes, out_specs, ray_comps,
                   sup, clu, tri, gtri, cnt, seed, n_steps, tb, block,
-                  stream, c_size):
+                  stream, c_size, seed_base=None):
     if seed is None:
         seed = jnp.zeros((1, 1), jnp.int32)
         seed_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     else:
         seed_spec = pl.BlockSpec((tb, block), lambda i: (i, 0),
                                  memory_space=pltpu.VMEM)
+    extra = []
+    extra_specs = []
+    if seed_base is not None:
+        # per-lane seed BASE rows (host_seed_base kernels only)
+        extra.append(seed_base)
+        extra_specs.append(pl.BlockSpec((tb, block), lambda i: (i, 0),
+                                        memory_space=pltpu.VMEM))
     grid_spec = pl.GridSpec(
         grid=(n_steps,),
         in_specs=[
@@ -1736,7 +2052,7 @@ def _pallas_trace(kernel, out_shapes, out_specs, ray_comps,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             # host-computed global-seed keys ((NB, R) i32, or a dummy)
             seed_spec,
-        ],
+        ] + extra_specs,
         out_specs=out_specs,
         scratch_shapes=(
             [pltpu.VMEM((16, c_size), jnp.float32),
@@ -1747,7 +2063,7 @@ def _pallas_trace(kernel, out_shapes, out_specs, ray_comps,
         grid_spec=grid_spec,
         out_shape=out_shapes,
         interpret=_should_interpret(),
-    )(*ray_comps, sup, clu, tri, gtri, cnt, seed)
+    )(*ray_comps, sup, clu, tri, gtri, cnt, seed, *extra)
 
 
 def _should_stream(tri) -> bool:
@@ -1797,7 +2113,8 @@ def trace_closest(o, d, mask, sup, clu, tri, spec: BVHSpec,
                   block: int = 128, tiles_per_step: int = 8,
                   stream=None, count_visits: bool = False,
                   exact_uv: bool = True, flat=None, counts=None,
-                  seed_key=None, baked_origin: bool = False,
+                  seed_key=None, seed_base=None,
+                  baked_origin: bool = False,
                   pair_visits: bool = False, pair_shared: bool = False):
     """Closest-hit query via the hierarchical Pallas tracer.
 
@@ -1850,7 +2167,10 @@ def trace_closest(o, d, mask, sup, clu, tri, spec: BVHSpec,
     # for a handful of globals, dense chunk test for large sets, nothing
     # when the scene has none.
     ng = spec.num_global
-    host_seed = seed_key is not None and ng > 0
+    # ``seed_base`` (per-lane seed cluster bases — the rank-trace
+    # fallback seeds each lane with its rank-walk best) implies a host
+    # seed even for scenes with no global set.
+    host_seed = seed_key is not None and (ng > 0 or seed_base is not None)
     # the scalar seed unroll reads origin rows the baked layout lacks;
     # baked callers use the host seed or the (origin-free) chunk test
     scalar_seed = ((not host_seed) and (not baked_origin)
@@ -1874,11 +2194,16 @@ def trace_closest(o, d, mask, sup, clu, tri, spec: BVHSpec,
     cnt = (jnp.asarray(counts, jnp.int32) if use_counts
            else jnp.zeros((1,), jnp.int32))
     gkw["use_counts"] = use_counts
+    sb = (seed_base.astype(jnp.int32).reshape(nb, block)
+          if (host_seed and seed_base is not None) else None)
     if _use_flat(spec, flat):
         if baked_origin:
             raise ValueError("baked_origin requires the hierarchical "
                              "kernel (pass flat=False or gate on "
                              "_use_flat)")
+        if sb is not None:
+            raise ValueError("seed_base requires the hierarchical "
+                             "kernel (pass flat=False)")
         sup = _flat_cluster_planes(clu)  # flat kernels slab ALL clusters
         kernel = functools.partial(_closest_flat_kernel,
                                    c_size=spec.cluster_size, r=block, tb=tb,
@@ -1888,6 +2213,7 @@ def trace_closest(o, d, mask, sup, clu, tri, spec: BVHSpec,
                                    c_size=spec.cluster_size, r=block, tb=tb,
                                    count_visits=count_visits,
                                    baked=baked_origin,
+                                   host_seed_base=sb is not None,
                                    pair_visits=pair_visits,
                                    # resident-only: one scratch cannot
                                    # hold two streamed slabs
@@ -1909,7 +2235,7 @@ def trace_closest(o, d, mask, sup, clu, tri, spec: BVHSpec,
                                    memory_space=pltpu.VMEM),)
     out = _pallas_trace(kernel, out_shapes, out_specs, ray_comps, sup,
                         clu, tri, gtri, cnt, seed, n_steps, tb, block,
-                        stream, spec.cluster_size)
+                        stream, spec.cluster_size, seed_base=sb)
     t_chop = out[0].reshape(n)
     tri_id = out[1].reshape(n)
     if exact_uv:

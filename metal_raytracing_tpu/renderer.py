@@ -245,9 +245,58 @@ def _make_tracers(data: SceneData, spec: SceneSpec, cfg: RenderConfig):
 
         def any_hit(o, d, mt, m, block=None):
             return any_p(o, d, mt, m, block=block or cfg.ray_block)
+
+        if (cfg.rank_trace and not trace_pallas._use_flat(spec.bvh, None)
+                # scenes with a global set need the host seed on the rank
+                # walk's rays — produced by the miss-fold's global pass
+                and (spec.bvh.num_global == 0
+                     or (host_seed and cfg.cluster_miss_fold))):
+            assert cfg.rank_trace == 2, (
+                "rank_trace supports K=2 (single-pass rank-3 broad phase)")
+
+            def closest_rank(o, d, m, rank_keys, seed):
+                """Rank-directed closest walk + certificate + seeded
+                hierarchical fallback (RenderConfig.rank_trace).
+
+                ``rank_keys``: K+1 packed (entry-t | id) keys, ranks
+                1..K+1, in this call's ray order; ``seed``: packed host
+                global-seed keys (None only when the scene has no global
+                set).  Returns (Hit, visits-or-None, unresolved-count).
+                """
+                K = len(rank_keys) - 1
+                res = trace_pallas.trace_closest_rank(
+                    o, d, m, list(rank_keys[:K]), data.tri_planes,
+                    spec.bvh, seed_key=seed, block=cfg.ray_block,
+                    counts=data.clu_counts if cfg.chunk_skip else None,
+                    count_visits=cfg.telemetry)
+                key, base = res[0], res[1]
+                vis = res[2] if cfg.telemetry else None
+                cert = trace_pallas.rank_certificate(key, rank_keys[K])
+                unresolved = m & ~cert
+                # fallback: the full hierarchical walk, seeded per-lane
+                # with the rank walk's best so its culling starts tight;
+                # certified lanes are masked off and compact into dead
+                # tiles (they were sorted by the same cluster keys)
+                fb = closest_p(o, d, unresolved, block=cfg.ray_block,
+                               seed_key=key, seed_base=base)
+                if cfg.telemetry:
+                    fb, fb_vis = fb
+                    vis = vis + fb_vis
+                found_r = key < jnp.int32(trace_pallas._MISS_KEY)
+                t_r = trace_pallas._key_to_t(key)
+                tri_r = jnp.where(
+                    found_r, base + (key & trace_pallas.IDX_MASK), -1)
+                t = jnp.where(unresolved, fb.t, t_r)
+                tri = jnp.where(unresolved, fb.tri, tri_r)
+                z = jnp.zeros_like(t)
+                hit = trace_ops.Hit(t=t, u=z, v=z, tri=tri)
+                return hit, vis, jnp.sum(unresolved.astype(jnp.int32))
+        else:
+            closest_rank = None
+        return closest, any_hit, closest_rank, cfg.tracer
     else:
         raise ValueError(f"unknown tracer {cfg.tracer!r}")
-    return closest, any_hit, cfg.tracer
+    return closest, any_hit, None, cfg.tracer
 
 
 def pixel_coords(cfg: RenderConfig) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -350,7 +399,8 @@ def render_rays(
                    + cam.forward[None])
     o = jnp.broadcast_to(cam.position[None], (p, 3))
 
-    closest_fn, any_fn, tracer_kind = _make_tracers(data, spec, cfg)
+    closest_fn, any_fn, closest_rank_fn, tracer_kind = _make_tracers(
+        data, spec, cfg)
     geom = data.geometry
     mats = data.materials
 
@@ -366,18 +416,82 @@ def render_rays(
     # previous bounce's hit triangle (for the dir6_cluster sort key)
     prev_tri = jnp.full((p,), -1, jnp.int32)
 
-    def bounce_sort(bounce, o, d, color, accum, idx, cur, alive, prev_tri):
+    def _pair_at(bounce):
+        """Static: does bounce_tail(bounce) fuse its shadow broad phase
+        with bounce (bounce+1)'s sort-key broad phase into ONE
+        nearest_cluster_pair sweep (cfg.pair_broadphase)?  True only when
+        this bounce's shadow key uses the exact (N, NC) chain AND the
+        next bounce's sort does too, over shared origins (refraction
+        moves the bounce origin off the shadow origin, so it disables
+        the fusion)."""
+        if not (cfg.pair_broadphase and tracer_kind == "pallas"
+                and data.clu_planes is not None):
+            return False
+        nc_tot_p = data.clu_planes.shape[0] * data.clu_planes.shape[1]
+        if (nc_tot_p > 4095 or cfg.enable_refraction
+                or cfg.fused_broadphase or cfg.shadow_key2
+                or cfg.sort_key != "cluster2"):
+            return False
+        # this bounce's shadow key must be the exact broad phase
+        shf_p = (cfg.shadow_hit_key_from if cfg.shadow_hit_key_from >= 0
+                 else cfg.max_bounces + cfg.shadow_hit_key_from)
+        if cfg.shadow_hit_key or bounce >= shf_p:
+            return False
+        if not (cfg.shadow_sort and cfg.compaction
+                and (bounce > 0 or cfg.shadow_sort_primary)):
+            return False
+        # ... and the NEXT bounce must compaction-sort with the exact key
+        if bounce + 1 >= cfg.max_bounces:
+            return False
+        if not (cfg.compaction and cfg.sort_bounces
+                and (cfg.sort_last_bounce
+                     or bounce + 1 < cfg.max_bounces - 1)):
+            return False
+        bhf_p = (cfg.bounce_hit_key_from if cfg.bounce_hit_key_from >= 0
+                 else cfg.max_bounces + cfg.bounce_hit_key_from)
+        return bounce + 1 < bhf_p
+
+    def _rank_at_sort(bounce):
+        """Static: does bounce_sort(bounce) emit packed rank-1..3 keys
+        for the rank-directed closest walk (cfg.rank_trace)?  Mirrors the
+        cluster-key branch's own gating."""
+        if closest_rank_fn is None or not cfg.sort_bounces:
+            return False
+        if cfg.sort_key != "cluster2":
+            return False
+        if not (tracer_kind == "pallas" and data.clu_planes is not None):
+            return False
+        nc_tot = data.clu_planes.shape[0] * data.clu_planes.shape[1]
+        if nc_tot > 4095:
+            return False
+        bhf = (cfg.bounce_hit_key_from if cfg.bounce_hit_key_from >= 0
+               else cfg.max_bounces + cfg.bounce_hit_key_from)
+        if bounce >= bhf:  # hit-proxy sort: no exact keys to reuse
+            return False
+        from .ops import trace_pallas as _tp
+
+        if (cfg.fused_broadphase
+                and nc_tot <= _tp.BROADPHASE_MAX_CLUSTERS):
+            return False  # the fused kernel doesn't emit rank-3 keys
+        return True
+
+    def bounce_sort(bounce, o, d, color, accum, idx, cur, alive, prev_tri,
+                    carried_bp=None):
         """Compaction-sort one bounce's rays: broad-phase sort keys +
         the multi-operand lax.sort.  Width-agnostic like bounce_tail —
         the bounce >= 2 dispatch calls it at the previous bounce's
         live-prefix bucket width (live rays only ever shrink between
         sorts, so they all sit inside the previous sort's prefix and the
-        suffix is entirely dead).  Returns the permuted per-ray state
-        plus (known_miss, carried_gk) — None when their config paths are
-        off."""
+        suffix is entirely dead).  ``carried_bp`` is this bounce's
+        (cid, nckey, cid2-or-packed...) tuple when the previous bounce's
+        tail already computed the keys in its fused pair sweep
+        (cfg.pair_broadphase) — the (N, NC) chain is then skipped here.
+        Returns the permuted per-ray state plus (known_miss, carried_gk)
+        — None when their config paths are off."""
         known_miss = None
         cluster1_bits = None  # set when the cluster1 key is active
         carried_gk = None  # global-seed key riding the sort (carry_seed)
+        rank_keys_pre = None  # packed rank-1..3 keys (cfg.rank_trace)
         if cfg.sort_bounces:
             # Sorted compaction: live rays ordered by (direction octant,
             # origin Morton) so each traversal block's rays share BVH
@@ -434,7 +548,37 @@ def render_rays(
                              and not use_hit
                              and nc_tot <= _tp.BROADPHASE_MAX_CLUSTERS)
                 gk_fused = None
-                if use_fused:
+                rank_on = _rank_at_sort(bounce)
+                rank_keys_pre = None  # packed rank 1..3 keys to carry
+                if carried_bp is not None:
+                    # keys already computed by the previous bounce's
+                    # fused shadow+bounce pair sweep (cfg.pair_broadphase)
+                    assert want2 and not use_hit and not use_fused
+                    cid, nckey = carried_bp[0], carried_bp[1]
+                    if len(carried_bp) >= 4:  # packed ranks (rank_trace)
+                        assert rank_on
+                        cid2 = _tp.decode_cluster_key(carried_bp[2],
+                                                      nc_tot)
+                        rank_keys_pre = (nckey, carried_bp[2],
+                                         carried_bp[3])
+                    else:
+                        cid2 = carried_bp[2]
+                    cid3 = None
+                elif rank_on:
+                    # the exact broad phase emits the THIRD-nearest too
+                    # (one variadic reduce — see nearest_cluster): ranks
+                    # 1..2 drive the rank-directed walk, rank 3 is its
+                    # resolution certificate; the sort key stays the
+                    # cluster2 layout (cid | cid2 | cone | Morton)
+                    assert want2 and not want3
+                    cid, nckey, k2p, k3p = _tp.nearest_cluster(
+                        o, d, alive, data.clu_planes, spec.bvh,
+                        return_key=True, return_second=2,
+                        return_packed=True)
+                    cid2 = _tp.decode_cluster_key(k2p, nc_tot)
+                    cid3 = None
+                    rank_keys_pre = (nckey, k2p, k3p)
+                elif use_fused:
                     # ONE pallas pass emits the nearest(-2) cluster
                     # keys AND the global-seed key together (VERDICT
                     # round 3 #2) — replacing the separate (N, NC)
@@ -610,6 +754,11 @@ def render_rays(
                          accum[:, 0], accum[:, 1], accum[:, 2]]
         if carried_gk is not None:
             operands += [carried_gk]
+        if rank_keys_pre is not None:
+            # the packed rank keys ride the sort (3 more i32 operands,
+            # ~+0.8 ms each at 1M by the x_sort marginal) instead of
+            # recomputing the (N, NC) chain on the sorted rays (~+5 ms)
+            operands += list(rank_keys_pre)
         operands += [idx, cur]
         s = jax.lax.sort(
             tuple(operands),
@@ -628,8 +777,13 @@ def render_rays(
         idx = s[-2]
         alive = s[0] < jnp.int32(2**30)
         cur = s[-1]
+        pos_s = len(s) - 2
+        rank_keys = None
+        if rank_keys_pre is not None:
+            rank_keys = tuple(s[pos_s - 3:pos_s])
+            pos_s -= 3
         if carried_gk is not None:
-            carried_gk = s[-3]
+            carried_gk = s[pos_s - 1]
         if "sort_extra" in ABLATE_EXTRA:
             # one more 15-operand compaction sort, identical operand mix
             # (key perturbed so nothing CSEs with the real sort)
@@ -646,10 +800,10 @@ def render_rays(
             known_miss = alive & (
                 (s[0] >> (30 - cluster1_bits)) == jnp.int32(nc_tot))
         return (o, d, color, accum, idx, cur, alive, known_miss,
-                carried_gk)
+                carried_gk, rank_keys)
 
     def bounce_tail(bounce, o, d, color, accum, idx, alive, known_miss,
-                    carried_gk):
+                    carried_gk, rank_keys=None):
         """Closest hit -> shade -> NEE shadow -> bounce continuation for
         one bounce — everything after the compaction sort.  Width-
         agnostic: operates on whatever PREFIX of the per-ray arrays it
@@ -674,16 +828,30 @@ def render_rays(
             gkey = (carried_gk if carried_gk is not None
                     else _tp.global_seed_keys(o, d, alive, data.tri_planes,
                                               spec.bvh))
-        hit = closest_fn(
-            o, d, alive if known_miss is None else alive & ~known_miss,
-            block=pblock if bounce == 0 else None,
-            # bounce 0: every ray shares the camera origin — the pallas
-            # tracer uses the bake_origin()-shifted planes when enabled
-            baked=(bounce == 0),
-            seed=(jnp.where(known_miss, jnp.int32(_tp._INIT_KEY), gkey)
-                  if gkey is not None and cfg.host_seed else None))
-        if cfg.telemetry and tracer_kind == "pallas":
-            hit, tele[f"visits_b{bounce}"] = hit
+        m_kernel = alive if known_miss is None else alive & ~known_miss
+        seed_arg = (jnp.where(known_miss, jnp.int32(_tp._INIT_KEY), gkey)
+                    if gkey is not None and cfg.host_seed else None)
+        if rank_keys is not None:
+            # rank-directed cluster-major walk over the packed candidate
+            # keys that rode this bounce's compaction sort, certified
+            # against the rank-3 entry, fallback re-trace for the rest
+            # (RenderConfig.rank_trace)
+            hit, rvis, n_unres = closest_rank_fn(o, d, m_kernel,
+                                                 rank_keys, seed_arg)
+            if cfg.telemetry:
+                tele[f"visits_b{bounce}"] = rvis
+                tele[f"rank_unresolved_b{bounce}"] = n_unres
+        else:
+            hit = closest_fn(
+                o, d, m_kernel,
+                block=pblock if bounce == 0 else None,
+                # bounce 0: every ray shares the camera origin — the
+                # pallas tracer uses the bake_origin()-shifted planes
+                # when enabled
+                baked=(bounce == 0),
+                seed=seed_arg)
+            if cfg.telemetry and tracer_kind == "pallas":
+                hit, tele[f"visits_b{bounce}"] = hit
         if gkey is not None:
             # Global-set hits of the folded rays: same chopped-t packing
             # the kernel would have returned (exact t is recomputed from
@@ -888,6 +1056,145 @@ def render_rays(
         else:
             g_occ = jnp.zeros_like(do_shadow)
             kernel_shadow = do_shadow
+
+        # ---- Bounce continuation, computed BEFORE the shadow trace.
+        # Everything here depends only on pre-shadow values (occlusion
+        # affects only the NEE accumulation below), so the hoist is pure
+        # code motion — and it makes the next bounce's ray direction
+        # available to the fused shadow+bounce broad phase
+        # (cfg.pair_broadphase).  Reference path: always cosine-weighted
+        # diffuse, throughput = dcolor (:384-391).  Extension
+        # (cfg.enable_specular, the reference's declared TODO
+        # README.md:8): per-ray lobe choice between the diffuse lobe and
+        # a Phong lobe around the mirror direction, weighted by Ks/Kd.
+        if cfg.enable_refraction:
+            # Dielectric extension (the reference's own declared next
+            # feature, reference README.md:8; Ni/d are carried in the
+            # ABI, ShaderTypes.h:105 -> types.Material).  A material with
+            # dissolve < 1 and Ni > 0 is (1 - dissolve) transmissive; its
+            # diffuse layer — including this vertex's NEE — carries only
+            # the `dissolve` fraction.
+            mid_r = row[:, 15].astype(jnp.int32)
+            ni_r = mats.refraction_index[mid_r]
+            dvis = mats.dissolve[mid_r]
+            transmissive = alive & (dvis < 1.0) & (ni_r > 0.0)
+            nee_w = jnp.where(transmissive, dvis, 1.0)[:, None]
+        else:
+            nee_w = 1.0
+        r_bounce = jnp.stack(
+            [sampling.halton(idx, sampling.bounce_dim(bounce, 3)),
+             sampling.halton(idx, sampling.bounce_dim(bounce, 4))], axis=-1)
+        local = sampling.sample_cosine_weighted_hemisphere(r_bounce)
+        d_diffuse = sampling.align_hemisphere_with_normal(local, ns)
+        d_in = d  # incoming direction
+        color_in = color  # incoming throughput (pre-lobe)
+
+        if cfg.enable_specular:
+            mid = row[:, 15].astype(jnp.int32)
+            spec_color = mats.specular[mid]
+            shininess = mats.specular_exponent[mid][:, None]
+            kd_max = jnp.max(base_color, axis=-1)
+            ks_max = jnp.max(spec_color, axis=-1)
+            p_spec = ks_max / jnp.maximum(kd_max + ks_max, 1e-6)
+            # lobe-choice dimension beyond the reference's schedule so the
+            # shared dims keep pixel parity when Ks == 0
+            xi = sampling.halton(
+                idx, 2 + 5 * cfg.max_bounces + bounce)
+            take_spec = alive & (xi < p_spec) & (ks_max > 0.0)
+            refl = (d_in - 2.0
+                    * jnp.sum(d_in * ns, axis=-1, keepdims=True) * ns)
+            # Phong-lobe sample about the mirror direction
+            cos_a = r_bounce[:, 1:2] ** (1.0 / (shininess + 1.0))
+            sin_a = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_a * cos_a))
+            phi = 2.0 * jnp.pi * r_bounce[:, 0:1]
+            lobe = jnp.concatenate(
+                [sin_a * jnp.cos(phi), cos_a, sin_a * jnp.sin(phi)],
+                axis=-1)
+            d_spec = sampling.align_hemisphere_with_normal(lobe, refl)
+            # keep specular samples above the surface
+            below = jnp.sum(d_spec * ns, axis=-1, keepdims=True) <= 0.0
+            d_spec = jnp.where(below, refl, d_spec)
+            p_spec_c = jnp.clip(p_spec, 1e-6, 1.0 - 1e-6)[:, None]
+            spec_tp = color * spec_color / p_spec_c
+            diff_tp = jnp.where(alive[:, None],
+                                color * base_color / (1.0 - p_spec_c),
+                                color)
+            d_next = jnp.where(take_spec[:, None], d_spec, d_diffuse)
+            color_next = jnp.where(take_spec[:, None], spec_tp, diff_tp)
+        else:
+            d_next = d_diffuse
+            color_next = dcolor
+
+        if cfg.enable_refraction:
+            # Transmissive branch, chosen with probability (1 - dissolve):
+            # Snell refraction with Schlick-Fresnel reflect/refract choice
+            # and total internal reflection, on the side-aware shading
+            # normal.  Both the branch choice and the Fresnel choice are
+            # importance-sampled with weight 1 (unbiased single-sample
+            # estimator); extra Halton dimensions sit past the specular
+            # lobe's so the reference schedule stays untouched.  Glass is
+            # tinted by Kd when present (near-black Kd means "clear" —
+            # common in glass MTLs — not "absorb everything").  Shadow
+            # rays still treat glass as a full occluder (no transmittance
+            # along shadow segments; documented limitation).
+            xi_t = sampling.halton(
+                idx, 2 + 5 * cfg.max_bounces + cfg.max_bounces + bounce)
+            take_t = transmissive & (xi_t >= dvis)
+            inside = jnp.sum(d_in * ns, axis=-1) > 0.0  # back-face hit
+            n_eff = jnp.where(inside[:, None], -ns, ns)
+            ci = jnp.clip(-jnp.sum(d_in * n_eff, axis=-1), 0.0, 1.0)
+            ni_s = jnp.maximum(ni_r, 1.0 + 1e-6)
+            eta = jnp.where(inside, ni_s, 1.0 / ni_s)
+            sin2_t = eta * eta * jnp.maximum(0.0, 1.0 - ci * ci)
+            tir = sin2_t > 1.0
+            cos_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_t))
+            d_refr = _normalize(eta[:, None] * d_in
+                                + (eta * ci - cos_t)[:, None] * n_eff)
+            d_refl = _normalize(d_in + 2.0 * ci[:, None] * n_eff)
+            f0 = ((ni_s - 1.0) / (ni_s + 1.0)) ** 2
+            fr = jnp.where(tir, 1.0,
+                           f0 + (1.0 - f0) * (1.0 - ci) ** 5)
+            xi_f = sampling.halton(
+                idx, 2 + 5 * cfg.max_bounces + 2 * cfg.max_bounces + bounce)
+            refl_t = xi_f < fr
+            d_next = jnp.where(
+                take_t[:, None],
+                jnp.where(refl_t[:, None], d_refl, d_refr), d_next)
+            kd_max_r = jnp.max(base_color, axis=-1, keepdims=True)
+            tint = jnp.where(kd_max_r > 1e-4, base_color, 1.0)
+            t_tp = jnp.where(alive[:, None], color_in * tint, color_in)
+            color_next = jnp.where(take_t[:, None], t_tp, color_next)
+            # refracted rays continue THROUGH the surface: offset along
+            # the inward side-aware normal
+            off_n = jnp.where(take_t[:, None],
+                              jnp.where(refl_t[:, None], n_eff, -n_eff),
+                              ns)
+            o_next = pos + off_n * 1e-3
+        else:
+            # bit-identical to the shadow origin (:350 twice) — the
+            # shared-origin property the pair broad phase fuses over
+            o_next = shadow_o
+
+        # ---- Fused shadow + next-bounce broad phase (VERDICT r4 #2):
+        # the shadow rank-1 key and the next bounce's rank-2 sort keys in
+        # ONE variadic (N, NC) sweep over the shared origin — the six
+        # per-axis (box - o) subtrahends are computed once.  Bit-identical
+        # to the separate chains (tests/test_broadphase.py); the bounce
+        # keys ride back to the next bounce_sort via ``pair_bp``.
+        pair_scid = None
+        pair_bp = None
+        if _pair_at(bounce):
+            from .ops import trace_pallas as _tp
+
+            rank_next = _rank_at_sort(bounce + 1)
+            res = _tp.nearest_cluster_pair(
+                shadow_o, ls.direction, sdist, kernel_shadow,
+                d_next, alive, data.clu_planes, spec.bvh,
+                ranks=3 if rank_next else 2,
+                return_packed=rank_next)
+            pair_scid = res[0]
+            pair_bp = res[1:]
+
         if cfg.shadow_sort and cfg.compaction and (
                 bounce > 0 or cfg.shadow_sort_primary):
             # Shadow re-sort (see RenderConfig.shadow_sort): shadow origins
@@ -956,6 +1263,9 @@ def render_rays(
                             shadow_o, ls.direction, kernel_shadow,
                             data.clu_planes, spec.bvh, max_t=sdist,
                             return_second=1)
+                    elif pair_scid is not None:
+                        # the fused pair sweep above already computed it
+                        scid = pair_scid
                     else:
                         scid = _tp.nearest_cluster(shadow_o, ls.direction,
                                                    kernel_shadow,
@@ -1013,123 +1323,27 @@ def render_rays(
             # bounce-2 shadow exhaustion tail (VERDICT round 3 #4).
             tele[f"shadow_occn_b{bounce}"] = jnp.sum(
                 (do_shadow & (occluded | g_occ)).astype(jnp.int32))
-        if cfg.enable_refraction:
-            # Dielectric extension (the reference's own declared next
-            # feature, reference README.md:8; Ni/d are carried in the ABI,
-            # ShaderTypes.h:105 -> types.Material).  A material with
-            # dissolve < 1 and Ni > 0 is (1 - dissolve) transmissive; its
-            # diffuse layer — including this vertex's NEE — carries only
-            # the `dissolve` fraction.
-            mid_r = row[:, 15].astype(jnp.int32)
-            ni_r = mats.refraction_index[mid_r]
-            dvis = mats.dissolve[mid_r]
-            transmissive = alive & (dvis < 1.0) & (ni_r > 0.0)
-            nee_w = jnp.where(transmissive, dvis, 1.0)[:, None]
-        else:
-            nee_w = 1.0
         accum += jnp.where(visible[:, None], lcolor * dcolor * nee_w,
                            0.0)  # :371-373
 
-        # Bounce continuation.  Reference path: always cosine-weighted
-        # diffuse, throughput = dcolor (:384-391).  Extension
-        # (cfg.enable_specular, the reference's declared TODO README.md:8):
-        # per-ray lobe choice between the diffuse lobe and a Phong lobe
-        # around the mirror direction, energy-weighted by Ks/Kd.
-        r_bounce = jnp.stack(
-            [sampling.halton(idx, sampling.bounce_dim(bounce, 3)),
-             sampling.halton(idx, sampling.bounce_dim(bounce, 4))], axis=-1)
-        local = sampling.sample_cosine_weighted_hemisphere(r_bounce)
-        d_diffuse = sampling.align_hemisphere_with_normal(local, ns)
-        d_in = d  # incoming direction (``d`` is rebound below)
-        color_in = color  # incoming throughput (pre-lobe)
-
-        if cfg.enable_specular:
-            mid = row[:, 15].astype(jnp.int32)
-            spec_color = mats.specular[mid]
-            shininess = mats.specular_exponent[mid][:, None]
-            kd_max = jnp.max(base_color, axis=-1)
-            ks_max = jnp.max(spec_color, axis=-1)
-            p_spec = ks_max / jnp.maximum(kd_max + ks_max, 1e-6)
-            # lobe-choice dimension beyond the reference's schedule so the
-            # shared dims keep pixel parity when Ks == 0
-            xi = sampling.halton(
-                idx, 2 + 5 * cfg.max_bounces + bounce)
-            take_spec = alive & (xi < p_spec) & (ks_max > 0.0)
-            refl = d - 2.0 * jnp.sum(d * ns, axis=-1, keepdims=True) * ns
-            # Phong-lobe sample about the mirror direction
-            cos_a = r_bounce[:, 1:2] ** (1.0 / (shininess + 1.0))
-            sin_a = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_a * cos_a))
-            phi = 2.0 * jnp.pi * r_bounce[:, 0:1]
-            lobe = jnp.concatenate(
-                [sin_a * jnp.cos(phi), cos_a, sin_a * jnp.sin(phi)], axis=-1)
-            d_spec = sampling.align_hemisphere_with_normal(lobe, refl)
-            # keep specular samples above the surface
-            below = jnp.sum(d_spec * ns, axis=-1, keepdims=True) <= 0.0
-            d_spec = jnp.where(below, refl, d_spec)
-            p_spec_c = jnp.clip(p_spec, 1e-6, 1.0 - 1e-6)[:, None]
-            spec_tp = color * spec_color / p_spec_c
-            diff_tp = jnp.where(alive[:, None],
-                                color * base_color / (1.0 - p_spec_c), color)
-            d = jnp.where(take_spec[:, None], d_spec, d_diffuse)
-            color = jnp.where(take_spec[:, None], spec_tp, diff_tp)
-        else:
-            d = d_diffuse
-            color = dcolor
-
-        if cfg.enable_refraction:
-            # Transmissive branch, chosen with probability (1 - dissolve):
-            # Snell refraction with Schlick-Fresnel reflect/refract choice
-            # and total internal reflection, on the side-aware shading
-            # normal.  Both the branch choice and the Fresnel choice are
-            # importance-sampled with weight 1 (unbiased single-sample
-            # estimator); extra Halton dimensions sit past the specular
-            # lobe's so the reference schedule stays untouched.  Glass is
-            # tinted by Kd when present (near-black Kd means "clear" —
-            # common in glass MTLs — not "absorb everything").  Shadow
-            # rays still treat glass as a full occluder (no transmittance
-            # along shadow segments; documented limitation).
-            xi_t = sampling.halton(
-                idx, 2 + 5 * cfg.max_bounces + cfg.max_bounces + bounce)
-            take_t = transmissive & (xi_t >= dvis)
-            inside = jnp.sum(d_in * ns, axis=-1) > 0.0  # back-face hit
-            n_eff = jnp.where(inside[:, None], -ns, ns)
-            ci = jnp.clip(-jnp.sum(d_in * n_eff, axis=-1), 0.0, 1.0)
-            ni_s = jnp.maximum(ni_r, 1.0 + 1e-6)
-            eta = jnp.where(inside, ni_s, 1.0 / ni_s)
-            sin2_t = eta * eta * jnp.maximum(0.0, 1.0 - ci * ci)
-            tir = sin2_t > 1.0
-            cos_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_t))
-            d_refr = _normalize(eta[:, None] * d_in
-                                + (eta * ci - cos_t)[:, None] * n_eff)
-            d_refl = _normalize(d_in + 2.0 * ci[:, None] * n_eff)
-            f0 = ((ni_s - 1.0) / (ni_s + 1.0)) ** 2
-            fr = jnp.where(tir, 1.0,
-                           f0 + (1.0 - f0) * (1.0 - ci) ** 5)
-            xi_f = sampling.halton(
-                idx, 2 + 5 * cfg.max_bounces + 2 * cfg.max_bounces + bounce)
-            refl_t = xi_f < fr
-            d = jnp.where(take_t[:, None],
-                          jnp.where(refl_t[:, None], d_refl, d_refr), d)
-            kd_max_r = jnp.max(base_color, axis=-1, keepdims=True)
-            tint = jnp.where(kd_max_r > 1e-4, base_color, 1.0)
-            t_tp = jnp.where(alive[:, None], color_in * tint, color_in)
-            color = jnp.where(take_t[:, None], t_tp, color)
-            # refracted rays continue THROUGH the surface: offset along
-            # the inward side-aware normal
-            off_n = jnp.where(take_t[:, None],
-                              jnp.where(refl_t[:, None], n_eff, -n_eff), ns)
-            o = pos + off_n * 1e-3
-        else:
-            o = pos + ns * 1e-3
-        return o, d, color, accum, alive, prev_tri, n_shadow, tele
+        # continuation state was computed above, before the shadow trace
+        o, d, color = o_next, d_next, color_next
+        return (o, d, color, accum, alive, prev_tri, n_shadow, pair_bp,
+                tele)
 
     live_bound = None  # live-prefix length after the last sort
     sort_presence = [None]  # (known_miss?, carried_gk?) statics
+    # next-bounce sort keys computed by the previous tail's fused pair
+    # sweep (cfg.pair_broadphase) — presence is static per bounce
+    carried_bp = None
     for bounce in range(cfg.max_bounces):
         # set per bounce by the cluster1 sort: live rays whose broad phase
         # proved they cannot hit any CLUSTER (only sky / the global set)
         known_miss = None
         carried_gk = None
+        rank_keys_b = None  # this bounce's packed rank keys (post-sort)
+        assert (carried_bp is not None) == (bounce > 0
+                                            and _pair_at(bounce - 1))
         if (cfg.compaction and (bounce > 0 or cfg.sort_primary)
                 and (cfg.sort_last_bounce
                      or bounce < cfg.max_bounces - 1)):
@@ -1143,17 +1357,22 @@ def render_rays(
                 # occupancy; the suffix is all-dead and passes through.
                 from .ops import trace_pallas as _tp
 
-                has_km_s, has_cg_s = sort_presence[0]
+                has_km_s, has_cg_s, _ = sort_presence[0]
+                has_rk_s = _rank_at_sort(bounce)
 
                 def mks(w):
                     def branch(o, d, color, accum, idx, cur, alive,
-                               prev_tri):
-                        (oo, dd, cc, aa, ii, uu, al, km,
-                         cg) = bounce_sort(bounce, o[:w], d[:w], color[:w],
+                               prev_tri, *bp_a):
+                        bp = (tuple(x[:w] for x in bp_a) if bp_a
+                              else None)
+                        (oo, dd, cc, aa, ii, uu, al, km, cg,
+                         rk) = bounce_sort(bounce, o[:w], d[:w], color[:w],
                                            accum[:w], idx[:w], cur[:w],
-                                           alive[:w], prev_tri[:w])
+                                           alive[:w], prev_tri[:w],
+                                           carried_bp=bp)
                         assert (km is not None) == has_km_s
                         assert (cg is not None) == has_cg_s
+                        assert (rk is not None) == has_rk_s
 
                         def cat(x, full):
                             if w == p:
@@ -1170,6 +1389,13 @@ def render_rays(
                             res += ((cg if w == p else jnp.concatenate(
                                 [cg, jnp.full((p - w,), _tp._INIT_KEY,
                                               jnp.int32)])),)
+                        if has_rk_s:
+                            # suffix lanes are dead — sentinel candidates
+                            res += tuple(
+                                (x if w == p else jnp.concatenate(
+                                    [x, jnp.full((p - w,), _tp._NC_SENT,
+                                                 jnp.int32)]))
+                                for x in rk)
                         return res
                     return branch
 
@@ -1178,7 +1404,8 @@ def render_rays(
                     bi = bi + (live_bound > wj).astype(jnp.int32)
                 out = jax.lax.switch(
                     bi, [mks(w) for w in sort_widths],
-                    o, d, color, accum, idx, cur, alive, prev_tri)
+                    o, d, color, accum, idx, cur, alive, prev_tri,
+                    *(carried_bp or ()))
                 o, d, color, accum, idx, cur, alive = out[:7]
                 j = 7
                 if has_km_s:
@@ -1186,12 +1413,17 @@ def render_rays(
                     j += 1
                 if has_cg_s:
                     carried_gk = out[j]
+                    j += 1
+                if has_rk_s:
+                    rank_keys_b = tuple(out[j:j + 3])
             else:
                 (o, d, color, accum, idx, cur, alive, known_miss,
-                 carried_gk) = bounce_sort(bounce, o, d, color, accum,
-                                           idx, cur, alive, prev_tri)
+                 carried_gk, rank_keys_b) = bounce_sort(
+                     bounce, o, d, color, accum, idx, cur, alive,
+                     prev_tri, carried_bp=carried_bp)
                 sort_presence[0] = (known_miss is not None,
-                                    carried_gk is not None)
+                                    carried_gk is not None,
+                                    rank_keys_b is not None)
 
         n_alive = jnp.sum(alive.astype(jnp.int32))
         closest_count += n_alive
@@ -1223,37 +1455,59 @@ def render_rays(
             opt = [a for a in (known_miss, carried_gk) if a is not None]
             has_km = known_miss is not None
             has_cg = carried_gk is not None
+            has_rk = rank_keys_b is not None
+            if has_rk:
+                opt = opt + list(rank_keys_b)
+            has_bp = _pair_at(bounce)
 
             def mk(w):
                 def branch(o, d, color, accum, idx, alive, prev_tri,
                            *opt_a):
                     km = opt_a[0][:w] if has_km else None
-                    cg = opt_a[-1][:w] if has_cg else None
-                    oo, dd, cc, aa, al, pt, nsh, _ = bounce_tail(
+                    j_o = int(has_km)
+                    cg = opt_a[j_o][:w] if has_cg else None
+                    j_o += int(has_cg)
+                    rk = (tuple(x[:w] for x in opt_a[j_o:j_o + 3])
+                          if has_rk else None)
+                    oo, dd, cc, aa, al, pt, nsh, bp, _ = bounce_tail(
                         bounce, o[:w], d[:w], color[:w], accum[:w],
-                        idx[:w], alive[:w], km, cg)
+                        idx[:w], alive[:w], km, cg, rk)
+                    assert (bp is not None) == has_bp
                     if w == p:
-                        return oo, dd, cc, aa, al, pt, nsh
+                        return (oo, dd, cc, aa, al, pt, nsh,
+                                *(bp or ()))
 
                     def cat(x, full):
                         return jnp.concatenate([x, full[w:]], axis=0)
 
+                    # suffix lanes of the carried keys are dead: their
+                    # sort key hits the dead sentinel regardless, so the
+                    # pad values are semantically inert
+                    from .ops import trace_pallas as _tp
+
+                    bp_pad = tuple(
+                        jnp.concatenate(
+                            [x, jnp.full((p - w,), _tp._NC_SENT
+                                         if i == 1 or len(bp) >= 4
+                                         else 0, jnp.int32)])
+                        for i, x in enumerate(bp or ()))
                     return (cat(oo, o), cat(dd, d), cat(cc, color),
                             cat(aa, accum), cat(al, alive),
-                            cat(pt, prev_tri), nsh)
+                            cat(pt, prev_tri), nsh, *bp_pad)
                 return branch
 
             bi = jnp.int32(0)
             for wj in widths[:-1]:
                 bi = bi + (n_alive > wj).astype(jnp.int32)
-            (o, d, color, accum, alive, prev_tri,
-             n_shadow) = jax.lax.switch(
+            out_t = jax.lax.switch(
                 bi, [mk(w) for w in widths],
                 o, d, color, accum, idx, alive, prev_tri, *opt)
+            (o, d, color, accum, alive, prev_tri, n_shadow) = out_t[:7]
+            carried_bp = tuple(out_t[7:]) if has_bp else None
         else:
-            (o, d, color, accum, alive, prev_tri, n_shadow,
+            (o, d, color, accum, alive, prev_tri, n_shadow, carried_bp,
              tele) = bounce_tail(bounce, o, d, color, accum, idx, alive,
-                                 known_miss, carried_gk)
+                                 known_miss, carried_gk, rank_keys_b)
             tele_stats.update(tele)
         shadow_count += n_shadow
         if cfg.telemetry:

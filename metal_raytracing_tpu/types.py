@@ -436,6 +436,30 @@ class RenderConfig:
     # rays do identical dense work, so bigger blocks amortize fixed
     # per-tile cost; VMEM intermediates scale with block * clusters).
     broadphase_block: int = 256
+    # Rank-directed cluster-major closest traversal for the sorted BOUNCE
+    # passes (round-5 restructure, VERDICT r4 #1).  0 = off (hierarchical
+    # extract-min kernel).  K >= 2: the exact broad phase that already
+    # feeds the cluster2 sort key emits each ray's K nearest candidate
+    # clusters as packed (entry-t | id) keys PLUS a rank-(K+1) resolution
+    # key; the keys ride the compaction sort, and a slab-free kernel walks
+    # each tile's per-lane candidate lists directly (no supers, no
+    # in-kernel slab, no score extract-min) — near-to-far via one packed
+    # min over the pending rows.  Rays whose best hit cannot be certified
+    # against the rank-(K+1) entry (t_best + chop > entry_{K+1}) fall back
+    # to the hierarchical kernel seeded with their rank-walk best, at
+    # collapsed population.  Requires sort_key cluster1/cluster2 + pallas
+    # hierarchical tracer; silently off otherwise.
+    rank_trace: int = 0
+    # Fuse the bounce-b SHADOW broad phase with the bounce-(b+1) BOUNCE
+    # broad phase in one variadic (N, NC) sweep (ops.trace_pallas.
+    # nearest_cluster_pair): both chains run over IDENTICAL origins (the
+    # offset hit point), so the six per-axis (box - o) subtrahends are
+    # computed once.  Bit-identical keys; the next bounce's keys ride the
+    # compaction sort as extra operands instead of being recomputed.
+    # Applies at bounces whose shadow key uses the exact broad phase and
+    # whose successor sort does too; off under refraction (shadow and
+    # bounce origins diverge there).
+    pair_broadphase: bool = False
     # Live-prefix bucket count for the post-sort bounce stages.  After a
     # bounce compaction sort the live rays are a contiguous prefix of
     # known (traced) length; the renderer dispatches the whole bounce

@@ -127,6 +127,64 @@ def test_rank2_single_pass_reduce_matches_two_pass(built):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_rank3_single_pass_matches_sequential_remin(built):
+    """The single-pass 3-smallest merge combiner (m3 = min(a3, b3,
+    max(a1,b2), max(a2,b1))) must equal the sequential re-min form
+    exactly, packed and decoded."""
+    data, spec = built
+    o, d, mask, maxt = _rays(512, seed=13)
+    ncp = data.clu_planes.shape[0] * data.clu_planes.shape[1]
+    TP.RANK2_TWO_PASS = True
+    try:
+        ref = TP.nearest_cluster(o, d, mask, data.clu_planes, spec.bvh,
+                                 return_key=True, return_second=2,
+                                 return_packed=True)
+        TP.RANK2_TWO_PASS = False
+        got = TP.nearest_cluster(o, d, mask, data.clu_planes, spec.bvh,
+                                 return_key=True, return_second=2,
+                                 return_packed=True)
+    finally:
+        TP.RANK2_TWO_PASS = False
+    assert len(ref) == len(got) == 4  # cid, key1, key2, key3 (packed)
+    for a, b in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # packed extras decode to the id forms
+    got_ids = TP.nearest_cluster(o, d, mask, data.clu_planes, spec.bvh,
+                                 return_key=True, return_second=2)
+    for kp, ki in zip(got[2:], got_ids[2:]):
+        np.testing.assert_array_equal(
+            np.asarray(TP.decode_cluster_key(kp, ncp)), np.asarray(ki))
+    # ranks are ordered near-to-far: entry t monotone over present ranks
+    k1, k2, k3 = (np.asarray(x) for x in got[1:])
+    t1, t2, t3 = (np.asarray(TP._key_to_t(jnp.asarray(k & ~TP._NC_IDM)))
+                  for k in (k1, k2, k3))
+    p2 = k2 != TP._NC_SENT
+    p3 = k3 != TP._NC_SENT
+    assert np.all(t1[p2] <= t2[p2]) and np.all(t2[p3] <= t3[p3])
+    assert np.all(p2[p3])  # rank 3 present implies rank 2 present
+
+
+def test_nearest_cluster_pair_rank3_packed(built):
+    """ranks=3 pair fusion: shadow rank-1 + bounce 3-smallest in one
+    reduce must equal the separate calls bit-exactly."""
+    data, spec = built
+    o, d_sh, mask_sh, maxt = _rays(512, seed=31)
+    _, d_nb, mask_nb, _ = _rays(512, seed=32)
+    scid, cid, k1, k2, k3 = TP.nearest_cluster_pair(
+        o, d_sh, maxt, mask_sh, d_nb, mask_nb, data.clu_planes, spec.bvh,
+        ranks=3, return_packed=True)
+    s_ref = TP.nearest_cluster(o, d_sh, mask_sh, data.clu_planes,
+                               spec.bvh, max_t=maxt)
+    c_ref, k1_ref, k2_ref, k3_ref = TP.nearest_cluster(
+        o, d_nb, mask_nb, data.clu_planes, spec.bvh, return_key=True,
+        return_second=2, return_packed=True)
+    np.testing.assert_array_equal(np.asarray(scid), np.asarray(s_ref))
+    np.testing.assert_array_equal(np.asarray(cid), np.asarray(c_ref))
+    np.testing.assert_array_equal(np.asarray(k1), np.asarray(k1_ref))
+    np.testing.assert_array_equal(np.asarray(k2), np.asarray(k2_ref))
+    np.testing.assert_array_equal(np.asarray(k3), np.asarray(k3_ref))
+
+
 def test_nearest_cluster_pair_matches_separate_calls(built):
     """nearest_cluster_pair (shadow rank-1 + bounce rank-2 in ONE
     variadic reduce over shared (box - o) subtrahends) must equal the

@@ -173,6 +173,48 @@ def test_count_visits_compiled(built):
     assert 0 < v[0] <= spec.bvh.num_clusters
 
 
+@pytest.mark.parametrize("stream", [False, True])
+def test_rank_walk_compiled(built, stream):
+    """Rank-directed cluster-major walk (RenderConfig.rank_trace) on real
+    Mosaic: walk over broad-phase ranks 1..2 + certificate + seeded
+    hierarchical fallback must equal the plain hierarchical kernel.  The
+    scalar extract (min over pending rows -> cid), the cid*c_size dynamic
+    lane slice with its multiple_of witness, and the per-visit streamed
+    DMA are all Mosaic-only surfaces interpret mode cannot validate."""
+    data, spec = built
+    o, d = _rays(256, seed=37)
+    mask = jnp.ones((256,), bool)
+    seed_k = TP.global_seed_keys(o, d, mask, data.tri_planes, spec.bvh)
+    _, k1, k2, k3 = TP.nearest_cluster(
+        o, d, mask, data.clu_planes, spec.bvh, return_key=True,
+        return_second=2, return_packed=True)
+    key, base = TP.trace_closest_rank(
+        o, d, mask, [k1, k2], data.tri_planes, spec.bvh, seed_key=seed_k,
+        stream=stream)
+    cert = TP.rank_certificate(key, k3)
+    fb = TP.trace_closest(o, d, mask & ~cert, data.sup_planes,
+                          data.clu_planes, data.tri_planes, spec.bvh,
+                          seed_key=key, seed_base=base, exact_uv=False,
+                          flat=False, stream=stream)
+    unres = np.asarray(mask & ~cert)
+    found_r = np.asarray(key < jnp.int32(TP._MISS_KEY))
+    tri = np.where(unres, np.asarray(fb.tri),
+                   np.where(found_r, np.asarray(base)
+                            + (np.asarray(key) & TP.IDX_MASK), -1))
+    t = np.where(unres, np.asarray(fb.t), np.asarray(TP._key_to_t(key)))
+    ref = TP.trace_closest(o, d, mask, data.sup_planes, data.clu_planes,
+                           data.tri_planes, spec.bvh, seed_key=seed_k,
+                           exact_uv=False, flat=False, stream=stream)
+    rtri = np.asarray(ref.tri)
+    np.testing.assert_array_equal(tri >= 0, rtri >= 0)
+    # tie-level divergence only: equal chopped t, different source slot
+    src = np.asarray(data.tri_src)
+    hits = rtri >= 0
+    np.testing.assert_array_equal(src[tri[hits]], src[rtri[hits]])
+    np.testing.assert_allclose(t[hits], np.asarray(ref.t)[hits],
+                               rtol=1e-4)
+
+
 @pytest.mark.parametrize("any_mode", [False, True])
 def test_broadphase_compiled(built, any_mode):
     """Fused broad-phase kernel on real Mosaic vs the XLA reference
