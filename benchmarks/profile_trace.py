@@ -108,6 +108,9 @@ def main() -> int:
     ap.add_argument("--dir", default="/tmp/prof_r4")
     ap.add_argument("--parse-only", action="store_true",
                     help="aggregate an existing trace dir, no TPU work")
+    ap.add_argument("--set", action="append", default=[], dest="overrides",
+                    help="RenderConfig override, e.g. --set rank_trace=2 "
+                         "(int/bool/str literals via eval-lite)")
     args = ap.parse_args()
 
     if not args.parse_only:
@@ -123,8 +126,16 @@ def main() -> int:
         from metal_raytracing_tpu.types import RenderConfig
         from metal_raytracing_tpu.utils.profiling import sync
 
+        over = {}
+        for kv in args.overrides:
+            k, _, v = kv.partition("=")
+            try:
+                over[k] = json.loads(v.lower() if v in ("True", "False")
+                                     else v)
+            except json.JSONDecodeError:
+                over[k] = v
         cfg = RenderConfig(width=args.size, height=args.size, max_bounces=3,
-                           tracer="pallas", samples_per_dispatch=1)
+                           tracer="pallas", samples_per_dispatch=1, **over)
         scene = get_scene(args.scene, args.size, args.size)
         data, spec = scene.build(cluster_size=cfg.cluster_size,
                                  builder=cfg.bvh_builder)

@@ -274,20 +274,42 @@ def _make_tracers(data: SceneData, spec: SceneSpec, cfg: RenderConfig):
                 cert = trace_pallas.rank_certificate(key, rank_keys[K])
                 unresolved = m & ~cert
                 # fallback: the full hierarchical walk, seeded per-lane
-                # with the rank walk's best so its culling starts tight;
-                # certified lanes are masked off and compact into dead
-                # tiles (they were sorted by the same cluster keys)
-                fb = closest_p(o, d, unresolved, block=cfg.ray_block,
-                               seed_key=key, seed_base=base)
+                # with the rank walk's best so its culling starts tight.
+                # The stragglers are SCATTERED in cluster-key order
+                # (certification failure tracks geometric ambiguity, not
+                # the sort key), so a full-width fallback re-activates
+                # nearly every tile for its ~4-5% unresolved lanes — the
+                # in-kernel any_live skip only saves FULLY dead tiles.
+                # One multi-operand sort compacts them into the first
+                # ~n_unresolved/block tiles (sorts are cheap: x_sort
+                # marginal +0.8 ms), the suffix tiles die, and a second
+                # sort restores ray order (18x cheaper than a scatter).
+                idx = jnp.arange(o.shape[0], dtype=jnp.int32)
+                cert_last = jnp.where(unresolved, jnp.int32(0),
+                                      jnp.int32(1))
+                s = jax.lax.sort(
+                    (cert_last, o[:, 0], o[:, 1], o[:, 2],
+                     d[:, 0], d[:, 1], d[:, 2], key, base, idx),
+                    dimension=0, is_stable=False, num_keys=1)
+                o_s = jnp.stack(s[1:4], axis=-1)
+                d_s = jnp.stack(s[4:7], axis=-1)
+                fb = closest_p(o_s, d_s, s[0] == 0, block=cfg.ray_block,
+                               seed_key=s[7], seed_base=s[8])
                 if cfg.telemetry:
+                    # per-BLOCK visit counts: block identities differ
+                    # between the two orders but every aggregate the
+                    # telemetry derives is permutation-invariant
                     fb, fb_vis = fb
                     vis = vis + fb_vis
+                u = jax.lax.sort((s[9], fb.t, fb.tri), dimension=0,
+                                 is_stable=False, num_keys=1)
+                fb_t, fb_tri = u[1], u[2]
                 found_r = key < jnp.int32(trace_pallas._MISS_KEY)
                 t_r = trace_pallas._key_to_t(key)
                 tri_r = jnp.where(
                     found_r, base + (key & trace_pallas.IDX_MASK), -1)
-                t = jnp.where(unresolved, fb.t, t_r)
-                tri = jnp.where(unresolved, fb.tri, tri_r)
+                t = jnp.where(unresolved, fb_t, t_r)
+                tri = jnp.where(unresolved, fb_tri, tri_r)
                 z = jnp.zeros_like(t)
                 hit = trace_ops.Hit(t=t, u=z, v=z, tri=tri)
                 return hit, vis, jnp.sum(unresolved.astype(jnp.int32))
