@@ -79,7 +79,10 @@ def aggregate(trace_dir: str, samples: int) -> dict:
 
 def classify(name: str) -> str:
     n = name.lower()
-    if "custom-call" in n or "tpu_custom_call" in n or "mosaic" in n:
+    if ("custom-call" in n or "tpu_custom_call" in n or "mosaic" in n
+            # functools.partial-wrapped kernel bodies surface as
+            # "_lambda_.N" XLA op names on this jaxlib
+            or "_lambda_" in n or "_kernel" in n):
         return "pallas_kernel"
     if "sort" in n:
         return "sort"

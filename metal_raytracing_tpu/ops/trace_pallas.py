@@ -1104,6 +1104,7 @@ def broadphase_keys(o, d, mask, clu, tri, spec: BVHSpec, max_t=None,
     )
     out = pl.pallas_call(
         kernel, grid_spec=grid_spec, out_shape=tuple(out_shapes),
+        name=_kname(kernel),
         interpret=_should_interpret(),
     )(*ray_comps, cluf, gtri)
     res = [x.reshape(n) for x in out]
@@ -1593,6 +1594,7 @@ def trace_closest_rank(o, d, mask, rank_keys, tri, spec: BVHSpec,
     )
     out = pl.pallas_call(
         kernel, grid_spec=grid_spec, out_shape=tuple(out_shapes),
+        name=_kname(kernel),
         interpret=_should_interpret(),
     )(*ray_comps, *keys, tri, cnt, seed)
     key = out[0].reshape(n)
@@ -2011,6 +2013,14 @@ def _should_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _kname(kernel) -> str:
+    """Readable kernel name for device-profile attribution (otherwise
+    every Pallas call surfaces as ``_lambda_.N`` and the profiler's
+    per-kernel breakdown is guesswork; benchmarks/profile_trace.py)."""
+    fn = kernel.func if isinstance(kernel, functools.partial) else kernel
+    return fn.__name__.strip("_")
+
+
 def _tiles_per_step(nb: int, want: int = 8) -> int:
     tb = want
     while nb % tb:
@@ -2060,6 +2070,7 @@ def _pallas_trace(kernel, out_shapes, out_specs, ray_comps,
     )
     return pl.pallas_call(
         kernel,
+        name=_kname(kernel),
         grid_spec=grid_spec,
         out_shape=out_shapes,
         interpret=_should_interpret(),

@@ -285,16 +285,25 @@ def _make_tracers(data: SceneData, spec: SceneSpec, cfg: RenderConfig):
                 # marginal +0.8 ms), the suffix tiles die, and a second
                 # sort restores ray order (18x cheaper than a scatter).
                 idx = jnp.arange(o.shape[0], dtype=jnp.int32)
-                cert_last = jnp.where(unresolved, jnp.int32(0),
-                                      jnp.int32(1))
+                # Key = rank-1 cluster id for unresolved rays, a larger
+                # sentinel for certified ones: the stragglers compact
+                # into a prefix GROUPED BY CLUSTER.  A bare 0/1 key
+                # (first attempt) scrambled their cluster coherence and
+                # each fallback tile paid the union of 128 scattered
+                # candidate sets — 8.5/8.3 ms/bounce of fallback kernel
+                # vs ~2 expected (round-5 named profile).
+                cid1 = rank_keys[0] & jnp.int32(trace_pallas._NC_IDM)
+                cert_last = jnp.where(unresolved, cid1,
+                                      jnp.int32(trace_pallas._NC_IDM) + 1)
                 s = jax.lax.sort(
                     (cert_last, o[:, 0], o[:, 1], o[:, 2],
                      d[:, 0], d[:, 1], d[:, 2], key, base, idx),
                     dimension=0, is_stable=False, num_keys=1)
                 o_s = jnp.stack(s[1:4], axis=-1)
                 d_s = jnp.stack(s[4:7], axis=-1)
-                fb = closest_p(o_s, d_s, s[0] == 0, block=cfg.ray_block,
-                               seed_key=s[7], seed_base=s[8])
+                fb = closest_p(
+                    o_s, d_s, s[0] <= jnp.int32(trace_pallas._NC_IDM),
+                    block=cfg.ray_block, seed_key=s[7], seed_base=s[8])
                 if cfg.telemetry:
                     # per-BLOCK visit counts: block identities differ
                     # between the two orders but every aggregate the
