@@ -89,6 +89,7 @@ _ANCHOR_NEUTRAL = frozenset({
     "width", "height", "spp", "max_bounces", "rand_offset_bits", "seed",
     "enable_specular", "enable_emission", "enable_refraction",
     "enable_textures", "texture_filter", "env_map", "telemetry",
+    "export_rays",
 })
 
 

@@ -60,7 +60,10 @@ def main() -> int:
 
     cfg = RenderConfig(width=args.size, height=args.size, max_bounces=3,
                        tracer="pallas", samples_per_dispatch=1,
-                       rank_trace=args.rank)
+                       rank_trace=args.rank,
+                       # rank+pair composes via the 4-op variadic reduce,
+                       # measured +13 ms on dragon (sweep_r5 batches 1-2)
+                       pair_broadphase=(args.rank == 0))
     t0 = time.time()
     r = Renderer(scene, cfg)
     build_s = time.time() - t0

@@ -22,29 +22,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 VARIANTS = [
-    # same-process anchor: round-4-close defaults (spd pinned to 1 in the
-    # base config so every variant times the same dispatch pattern)
+    # same-process anchor: CURRENT defaults (pair_broadphase adopted in
+    # round 5; spd pinned to 1 in the base config so every variant times
+    # the same dispatch pattern)
     ("default", dict()),
-    # rank-directed cluster-major closest walk (VERDICT r4 #1): ranks 1-2
-    # from the exact broad phase ride the bounce sort; certificate vs the
-    # rank-3 entry; ~5.5% uncertified rays re-trace seeded (coatball 64²
-    # interpret measurement — dragon fractions printed per variant below)
-    ("rank2", dict(rank_trace=2)),
-    # fused shadow+next-bounce broad phase over shared origins
-    # (VERDICT r4 #2): the b1 shadow chain + b2 bounce chain become one
-    # variadic reduce with shared (box - o) subtrahends; bit-identical
-    ("pair", dict(pair_broadphase=True)),
-    # the composition: the pair sweep also emits the packed rank keys
+    # pre-adoption control: round-4-close defaults (pair off)
+    ("nopair", dict(pair_broadphase=False)),
+    # rank-directed cluster-major closest walk (VERDICT r4 #1), with the
+    # order-preserving (0/1, idx) fallback compaction.  pair explicitly
+    # OFF: the composition needs the 4-operand variadic reduce, measured
+    # +13 ms (batches 1-2)
+    ("rank2", dict(rank_trace=2, pair_broadphase=False)),
+    # the broken composition, kept for reference
     ("rank2_pair", dict(rank_trace=2, pair_broadphase=True)),
-    # production composition with the adopted spd2 dispatch batching
-    ("rank2_pair_spd2", dict(rank_trace=2, pair_broadphase=True,
-                             samples_per_dispatch=2)),
-    # block-size retest UNDER the rank walk: rb128 won 4x for the
-    # hierarchical kernel because the per-block UNION visit set grows
-    # superlinearly — the rank walk's per-tile distinct-candidate count
-    # grows more slowly (candidates are per-lane, capped at 2), so the
-    # fixed-cost amortization may finally pay
-    ("rank2_rb256", dict(rank_trace=2, ray_block=256)),
 ]
 
 

@@ -27,6 +27,7 @@ the reference's blocking GPU build round-trip) and ships flat device arrays.
 from __future__ import annotations
 
 import dataclasses
+from typing import Optional
 
 import numpy as np
 
@@ -232,6 +233,8 @@ def sah_free_clusters(
     n_bins: int = 32,
     chunk: int = 0,
     alpha: float = 1.0,
+    rays: Optional[np.ndarray] = None,
+    ray_min: int = 48,
 ) -> list:
     """Unquantized cluster-granular SAH: returns a LIST of per-cluster
     reference-index arrays, each of length <= ``cluster_size``.
@@ -256,8 +259,39 @@ def sah_free_clusters(
     splits are scored ``SA * (alpha * clusters + chunks)`` per side and
     a node may keep splitting BELOW cluster_size while a split lowers
     that cost (e.g. two separated blobs sharing a cluster).
+
+    ``rays`` (the ``sah_rays`` builder): an (M, 8) row table
+    ``[ox oy oz dx dy dz max_t live]`` of MEASURED rays — the strided
+    telemetry sample a prior render exported (RenderConfig.export_rays).
+    Splits are then scored ``R(box) * ceil(n / c)`` where ``R`` counts
+    sample rays whose slab interval intersects the candidate box — the
+    exact quantity the traversal pays (a cluster visit happens iff a
+    ray's slab hits the cluster box), with surface area only as the
+    fallback proxy once a subtree sees fewer than ``ray_min`` samples.
+    Each child inherits only the rays that hit ITS box, so the total
+    scoring work is proportional to the measured visit sum, not
+    (nodes x M).
     """
     c = cluster_size
+
+    if rays is not None:
+        live = rays[:, 7] > 0.0
+        r_o = np.ascontiguousarray(rays[live, 0:3], np.float64)
+        r_d = rays[live, 3:6].astype(np.float64)
+        r_inv = 1.0 / np.where(np.abs(r_d) < 1e-12,
+                               np.copysign(1e-12, r_d), r_d)
+        r_maxt = rays[live, 6].astype(np.float64)
+        if r_o.shape[0] == 0:
+            rays = None
+
+    def _ray_hits(ri, blo, bhi):
+        """(len(ri), B) bool: does sample ray i's slab interval hit box b
+        (same test as ops.trace_pallas.nearest_cluster)."""
+        t0 = (blo[None, :, :] - r_o[ri, None, :]) * r_inv[ri, None, :]
+        t1 = (bhi[None, :, :] - r_o[ri, None, :]) * r_inv[ri, None, :]
+        tn = np.minimum(t0, t1).max(axis=2)
+        tf = np.maximum(t0, t1).min(axis=2)
+        return (tn <= tf) & (tf >= 0.0) & (tn <= r_maxt[ri, None])
 
     def side_cost(sa, n):
         ncl = np.ceil(n / c)
@@ -266,9 +300,11 @@ def sah_free_clusters(
         return sa * ncl
 
     clusters: list = []
-    stack = [np.arange(centroids.shape[0], dtype=np.int64)]
+    all_rays = (np.arange(r_o.shape[0], dtype=np.int64)
+                if rays is not None else None)
+    stack = [(np.arange(centroids.shape[0], dtype=np.int64), all_rays)]
     while stack:
-        ids = stack.pop()
+        ids, rsub = stack.pop()
         if len(ids) <= (chunk if chunk else c):
             clusters.append(ids)
             continue
@@ -277,6 +313,7 @@ def sah_free_clusters(
         hi = pts.max(axis=0)
         ext = hi - lo
         n_here = len(ids)
+        use_rays = rays is not None and len(rsub) >= ray_min
 
         best_cost = np.inf
         best_axis = -1
@@ -298,9 +335,21 @@ def sah_free_clusters(
             pre_n = np.cumsum(counts)
             ln = pre_n[:-1]
             rn = n_here - ln
-            # SA-weighted cluster counts (or chunk-units, see side_cost)
-            cost = (side_cost(_surface_area(pre_lo[:-1], pre_hi[:-1]), ln)
-                    + side_cost(_surface_area(suf_lo[1:], suf_hi[1:]), rn))
+            if use_rays:
+                # measured-ray visit counts of every candidate side box
+                # (+1 Laplace so zero-sample sides still prefer fewer
+                # clusters); empty sides keep inverted boxes out via ln/rn
+                rl = _ray_hits(rsub, pre_lo[:-1], pre_hi[:-1]).sum(axis=0)
+                rr = _ray_hits(rsub, suf_lo[1:], suf_hi[1:]).sum(axis=0)
+                cost = ((rl + 1.0) * np.ceil(ln / c)
+                        + (rr + 1.0) * np.ceil(rn / c))
+            else:
+                # SA-weighted cluster counts (or chunk-units, see
+                # side_cost)
+                cost = (side_cost(_surface_area(pre_lo[:-1], pre_hi[:-1]),
+                                  ln)
+                        + side_cost(_surface_area(suf_lo[1:], suf_hi[1:]),
+                                    rn))
             valid = (ln >= 1) & (rn >= 1)
             if not valid.any():
                 continue
@@ -329,8 +378,24 @@ def sah_free_clusters(
             best_axis = int(np.argmax(ext))
             best_k = n_here // 2
         part = np.argpartition(pts[:, best_axis], best_k)
-        stack.append(ids[part[best_k:]])  # right pushed first -> left first
-        stack.append(ids[part[:best_k]])
+        ids_l = ids[part[:best_k]]
+        ids_r = ids[part[best_k:]]
+        if rays is not None:
+            # children inherit only the sample rays that hit their box
+            rs_l = rs_r = rsub
+            if len(rsub):
+                lb = np.stack([tri_lo[ids_l].min(axis=0),
+                               tri_lo[ids_r].min(axis=0)])
+                hb = np.stack([tri_hi[ids_l].max(axis=0),
+                               tri_hi[ids_r].max(axis=0)])
+                h = _ray_hits(rsub, lb, hb)
+                rs_l = rsub[h[:, 0]]
+                rs_r = rsub[h[:, 1]]
+            stack.append((ids_r, rs_r))  # right first -> left emitted first
+            stack.append((ids_l, rs_l))
+        else:
+            stack.append((ids_r, None))
+            stack.append((ids_l, None))
     return clusters
 
 
@@ -575,6 +640,7 @@ def build_cluster_bvh(
     global_sa_frac: float = 0.02,
     max_global: int = 128,
     builder_alpha: float = 2.0,
+    rays: Optional[np.ndarray] = None,
 ):
     """Build the cluster BVH over world-space triangles (v0, v0+e1, v0+e2).
 
@@ -645,19 +711,23 @@ def build_cluster_bvh(
 
     scene_lo = ref_lo.min(axis=0)
     scene_hi = ref_hi.max(axis=0)
-    if builder in ("sah_free", "sah_chunk", "ploc"):
+    if builder in ("sah_free", "sah_chunk", "ploc", "sah_rays"):
         # Cluster-granular builders: list of (possibly partially-full)
         # clusters; every cluster's tail pads with -1 (degenerate never-hit
         # slots).  sah_chunk scores in chunk-units and splits below
         # cluster_size when beneficial (pairs with the kernels' chunk
-        # skip); ploc agglomerates bottom-up by merged-box surface area.
+        # skip); ploc agglomerates bottom-up by merged-box surface area;
+        # sah_rays scores splits by MEASURED ray-hit counts (``rays``,
+        # from RenderConfig.export_rays telemetry) instead of surface
+        # area, falling back to sah_free without a sample.
         if builder == "ploc":
             groups = ploc_clusters(ref_lo, ref_hi, c)
         else:
-            groups = sah_free_clusters(ref_lo, ref_hi,
-                                       np.ascontiguousarray(centroids), c,
-                                       chunk=128 if builder == "sah_chunk"
-                                       else 0, alpha=builder_alpha)
+            groups = sah_free_clusters(
+                ref_lo, ref_hi, np.ascontiguousarray(centroids), c,
+                chunk=128 if builder == "sah_chunk" else 0,
+                alpha=builder_alpha,
+                rays=rays if builder == "sah_rays" else None)
         num_clusters = len(groups)
         padded = num_clusters * c
         order_padded = np.full(padded + padded_global, -1, np.int64)

@@ -69,6 +69,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "default)")
     r.add_argument("--no-compaction", action="store_true",
                    help="disable live-ray compaction between bounces")
+    r.add_argument("--feedback", type=int, default=0, metavar="N",
+                   help="after N samples, rebuild the BVH to the "
+                        "MEASURED ray distribution (Renderer.refine, "
+                        "sah_rays builder) and continue; image-identical")
     r.add_argument("--checkpoint", default=None,
                    help="checkpoint path for save/resume")
     r.add_argument("--resume", action="store_true",
@@ -188,10 +192,21 @@ def cmd_render(args) -> int:
     # are rate-limited to keep the step loop async-dispatched between them.
     progress_every = max(1, args.spp // 16)
     t0 = time.perf_counter()
+    feedback_at = args.feedback if args.feedback > 0 else None
     while renderer.frame_index < args.spp:
-        renderer.step(dispatch_span(renderer.frame_index,
-                                    renderer.samples_per_dispatch,
-                                    args.spp, args.save_every))
+        k = dispatch_span(renderer.frame_index,
+                          renderer.samples_per_dispatch,
+                          args.spp, args.save_every)
+        if feedback_at and renderer.frame_index < feedback_at:
+            k = min(k, feedback_at - renderer.frame_index)
+        renderer.step(k)
+        if feedback_at and renderer.frame_index >= feedback_at:
+            feedback_at = None
+            ok = renderer.refine()
+            if not args.quiet:
+                print(f"\nfeedback rebuild at sample {renderer.frame_index}"
+                      f": {'ok, ' + str(renderer.spec.bvh.num_clusters) + ' clusters' if ok else 'no sample (skipped)'}",
+                      file=sys.stderr)
         if args.save_every and renderer.frame_index % args.save_every == 0:
             image_io.write_png(args.out, renderer.image,
                                tonemap=not args.no_tonemap)

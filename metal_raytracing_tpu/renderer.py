@@ -285,32 +285,33 @@ def _make_tracers(data: SceneData, spec: SceneSpec, cfg: RenderConfig):
                 # marginal +0.8 ms), the suffix tiles die, and a second
                 # sort restores ray order (18x cheaper than a scatter).
                 idx = jnp.arange(o.shape[0], dtype=jnp.int32)
-                # Key = rank-1 cluster id for unresolved rays, a larger
-                # sentinel for certified ones: the stragglers compact
-                # into a prefix GROUPED BY CLUSTER.  A bare 0/1 key
-                # (first attempt) scrambled their cluster coherence and
-                # each fallback tile paid the union of 128 scattered
-                # candidate sets — 8.5/8.3 ms/bounce of fallback kernel
-                # vs ~2 expected (round-5 named profile).
-                cid1 = rank_keys[0] & jnp.int32(trace_pallas._NC_IDM)
-                cert_last = jnp.where(unresolved, cid1,
-                                      jnp.int32(trace_pallas._NC_IDM) + 1)
+                # 0/1 key with idx as an explicit SECOND sort key: the
+                # unresolved prefix keeps the incoming bounce order
+                # (cluster2 key = origin-Morton + direction coherent).
+                # Grouping the prefix by rank-1 cluster id instead
+                # measured WORSE (183.8 vs 176.6 anchor, batch r5-3):
+                # certification failure means the true winner lies
+                # BEYOND rank 2, so cid1 grouping scatters origins and
+                # the fallback blocks pay a wider union than the bounce
+                # order they came in with.
+                cert_last = jnp.where(unresolved, jnp.int32(0),
+                                      jnp.int32(1))
                 s = jax.lax.sort(
-                    (cert_last, o[:, 0], o[:, 1], o[:, 2],
-                     d[:, 0], d[:, 1], d[:, 2], key, base, idx),
-                    dimension=0, is_stable=False, num_keys=1)
-                o_s = jnp.stack(s[1:4], axis=-1)
-                d_s = jnp.stack(s[4:7], axis=-1)
+                    (cert_last, idx, o[:, 0], o[:, 1], o[:, 2],
+                     d[:, 0], d[:, 1], d[:, 2], key, base),
+                    dimension=0, is_stable=False, num_keys=2)
+                o_s = jnp.stack(s[2:5], axis=-1)
+                d_s = jnp.stack(s[5:8], axis=-1)
                 fb = closest_p(
-                    o_s, d_s, s[0] <= jnp.int32(trace_pallas._NC_IDM),
-                    block=cfg.ray_block, seed_key=s[7], seed_base=s[8])
+                    o_s, d_s, s[0] == 0,
+                    block=cfg.ray_block, seed_key=s[8], seed_base=s[9])
                 if cfg.telemetry:
                     # per-BLOCK visit counts: block identities differ
                     # between the two orders but every aggregate the
                     # telemetry derives is permutation-invariant
                     fb, fb_vis = fb
                     vis = vis + fb_vis
-                u = jax.lax.sort((s[9], fb.t, fb.tri), dimension=0,
+                u = jax.lax.sort((s[1], fb.t, fb.tri), dimension=0,
                                  is_stable=False, num_keys=1)
                 fb_t, fb_tri = u[1], u[2]
                 found_r = key < jnp.int32(trace_pallas._MISS_KEY)
@@ -844,6 +845,14 @@ def render_rays(
         Returns the updated per-ray state, the shadow-ray count, and
         telemetry."""
         tele: Dict[str, jnp.ndarray] = {}
+        if cfg.export_rays:
+            # strided sample of this bounce's closest-pass rays for the
+            # ray-weighted cluster builder (RenderConfig.export_rays)
+            st = cfg.export_rays
+            tele[f"rays_b{bounce}"] = jnp.concatenate(
+                [o[::st], d[::st],
+                 jnp.full((o[::st].shape[0], 1), jnp.inf),
+                 alive[::st, None].astype(jnp.float32)], axis=1)
         # Fully dead tiles (the compacted suffix after a bounce sort,
         # image padding) are skipped inside the pallas kernel from the
         # mask itself at ~zero cost.
@@ -1344,6 +1353,13 @@ def render_rays(
                               block=pblock if bounce == 0 else None)
             if cfg.telemetry and tracer_kind == "pallas":
                 occluded, tele[f"shadow_visits_b{bounce}"] = occluded
+        if cfg.export_rays:
+            # strided shadow-SEGMENT sample (finite max_t) for the
+            # ray-weighted cluster builder (RenderConfig.export_rays)
+            st = cfg.export_rays
+            tele[f"srays_b{bounce}"] = jnp.concatenate(
+                [shadow_o[::st], ls.direction[::st], sdist[::st, None],
+                 kernel_shadow[::st, None].astype(jnp.float32)], axis=1)
         visible = do_shadow & ~occluded & ~g_occ
         if cfg.telemetry:
             # Occlusion-outcome split (round 4): ordering levers (occluder
@@ -1679,6 +1695,42 @@ class Renderer:
         """Total shadow rays traced (fetches the device counter)."""
         return int(self.ray_totals[1])
 
+    def refine(self, stride: int = 64) -> bool:
+        """Feedback-driven re-cluster (VERDICT r4 #8): rebuild the cluster
+        BVH to THIS render's MEASURED ray distribution, then continue
+        progressively.
+
+        Renders one extra telemetry sample (NOT folded into the average)
+        with RenderConfig.export_rays to collect a strided sample of the
+        bounce rays and shadow segments the frame actually traces, then
+        rebuilds with the ``sah_rays`` builder, which scores candidate
+        splits by measured ray-slab hits instead of the surface-area
+        proxy.  Image-identical — clustering is a performance property
+        (tests/test_feedback.py) — and checkpoint-compatible: the
+        fingerprint is cached at first use so a refined renderer's
+        checkpoints interoperate with unrefined ones.  Returns False
+        when the scene/config exports no usable sample (e.g. bruteforce
+        tracer)."""
+        import dataclasses as _dc
+
+        ecfg = _dc.replace(self.cfg, export_rays=stride)
+        _, stats = jax.jit(lambda d, o: render_sample(
+            d, self.spec, ecfg, o, jnp.int32(self.frame_index)))(
+                self.data, self.offsets)
+        rows = [np.asarray(v) for k, v in sorted(stats.items())
+                if k.startswith(("rays_b", "srays_b"))]
+        if not rows:
+            return False
+        rays = np.concatenate(rows, axis=0)
+        if not (rays[:, 7] > 0).any():
+            return False
+        self.fingerprint()  # pin the pre-refine identity (see docstring)
+        self.data, self.spec = self.scene.build(
+            cluster_size=self.cfg.cluster_size, builder="sah_rays",
+            presplit=self.cfg.bvh_presplit,
+            builder_alpha=self.cfg.bvh_alpha, rays=rays)
+        return True
+
     def render(self, spp: Optional[int] = None) -> np.ndarray:
         """Render ``spp`` more samples (default cfg.spp); returns
         (H, W, 3) f32.  Dispatches in ``samples_per_dispatch`` batches
@@ -1701,13 +1753,20 @@ class Renderer:
         checkpoint from a different scene or incompatible config would
         silently corrupt a long render.  Tracer choice is deliberately
         excluded (tracers are pixel-parity interchangeable)."""
+        cached = getattr(self, "_fingerprint", None)
+        if cached is not None:
+            # pinned at first use: refine() rebuilds the clustering (a
+            # perf-only property), and checkpoints must stay portable
+            # across refined/unrefined builds of the same scene
+            return cached
         s = (f"{self.spec.bvh}|L{self.spec.light_count}"
              f"|M{self.spec.material_count}|E{int(self.spec.has_env_map)}"
              f"|{self.cfg.width}x{self.cfg.height}|b{self.cfg.max_bounces}"
              f"|seed{self.cfg.seed}")
         import hashlib
 
-        return hashlib.sha1(s.encode()).hexdigest()[:16]
+        self._fingerprint = hashlib.sha1(s.encode()).hexdigest()[:16]
+        return self._fingerprint
 
     @property
     def total_samples(self) -> int:

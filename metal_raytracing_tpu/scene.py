@@ -319,6 +319,7 @@ def build_scene_data(
     builder: str = "sah",
     presplit: float = 0.0,
     builder_alpha: float = 2.0,
+    rays: Optional[np.ndarray] = None,
 ) -> Tuple[SceneData, SceneSpec]:
     """Flatten, Morton-sort, cluster, and upload a scene.
 
@@ -342,7 +343,8 @@ def build_scene_data(
         uvc = np.zeros((v0.shape[0], 3, 2), np.float32)
     order, node_lo, node_hi, bvh_spec = accel.build_cluster_bvh(
         v0, e1, e2, cluster_size=cluster_size, branching=branching,
-        builder=builder, presplit=presplit, builder_alpha=builder_alpha)
+        builder=builder, presplit=presplit, builder_alpha=builder_alpha,
+        rays=rays)
 
     # Apply the Morton permutation; padding slots (-1) become degenerate
     # triangles (e1 = e2 = 0 => zero determinant => never hit).
@@ -471,9 +473,9 @@ class Scene:
 
     def build(self, cluster_size: int = 384, branching: int = 8,
               builder: str = "sah", presplit: float = 0.0,
-              builder_alpha: float = 2.0):
+              builder_alpha: float = 2.0, rays=None):
         return build_scene_data(
             self.instances, self.lights, self.camera(),
             cluster_size=cluster_size, branching=branching,
             env_map=self.env_map, builder=builder, presplit=presplit,
-            builder_alpha=builder_alpha)
+            builder_alpha=builder_alpha, rays=rays)

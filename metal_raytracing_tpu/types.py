@@ -458,8 +458,13 @@ class RenderConfig:
     # compaction sort as extra operands instead of being recomputed.
     # Applies at bounces whose shadow key uses the exact broad phase and
     # whose successor sort does too; off under refraction (shadow and
-    # bounce origins diverge there).
-    pair_broadphase: bool = False
+    # bounce origins diverge there).  ADOPTED round 5: three same-process
+    # dragon 1024^2 A/Bs won -1.3/-2.4/-2.0% (173.6 vs 175.8, 172.3 vs
+    # 176.5, 173.0 vs 176.6 ms/sample, sweep_r5 batches 1-3).  Composing
+    # it with rank_trace needs the ranks=3 FOUR-operand variadic reduce,
+    # which lowers to a slow path (+13 ms vs rank2 alone, both batches)
+    # — pair+rank2 is reproducibly the worst of the three combinations.
+    pair_broadphase: bool = True
     # Live-prefix bucket count for the post-sort bounce stages.  After a
     # bounce compaction sort the live rays are a contiguous prefix of
     # known (traced) length; the renderer dispatches the whole bounce
@@ -550,6 +555,14 @@ class RenderConfig:
     # render stats (pallas tracer only; compiles a separate instrumented
     # kernel — leave off on the hot path).
     telemetry: bool = False
+    # Ray-sample export stride (observability only; 0 = off).  When > 0,
+    # every stride-th BOUNCE ray (rays_b{1..}) and SHADOW segment
+    # (srays_b{0..}) is returned in the render stats as an (M, 8) row
+    # table [ox oy oz dx dy dz max_t live] — the measured ray
+    # distribution that feeds the ray-weighted cluster builder
+    # (accel.sah_free_clusters(rays=...), RenderConfig.bvh_builder
+    # "sah_rays"; benchmarks/feedback_recluster.py).
+    export_rays: int = 0
 
     @property
     def num_pixels(self) -> int:
