@@ -25,6 +25,8 @@ Environment knobs:
     BENCH_TRACER=auto    auto | bvh | pallas | bruteforce
     BENCH_LADDER=plane_sphere,teapot,bunny_env,coatball  ('' to disable)
     BENCH_ANCHOR=1       measure the pinned round-3 anchor config ('0' off)
+    BENCH_FEEDBACK=0     '1': refine() (feedback re-cluster, sah_rays)
+                         before timing; the anchor never refines
 """
 
 from __future__ import annotations
@@ -133,6 +135,19 @@ def _bench_scene(scene_name: str, size, samples: int, tracer: str,
     cfg = RenderConfig(
         width=w, height=h, max_bounces=3, tracer=tracer, **overrides)
     renderer = Renderer(scene, cfg)
+    feedback = os.environ.get("BENCH_FEEDBACK", "0") != "0"
+    if feedback and cfg.tracer in ("auto", "pallas"):
+        # Feedback-driven re-cluster before timing (round 5): render one
+        # sample, export the measured ray distribution, rebuild the
+        # cluster BVH with the sah_rays builder (Renderer.refine).  The
+        # anchor below never refines, so headline_over_anchor captures
+        # the win/loss under tunnel variance.  Off by default until the
+        # chip A/B adopts it (BASELINE.md round 5).
+        renderer.step(1)
+        refined = renderer.refine()
+        line_extra = {"feedback_refined": bool(refined)}
+    else:
+        line_extra = {}
     result = benchmark_renderer(renderer, samples=samples, warmup=1)
 
     value = result.mrays_per_sec
@@ -143,6 +158,7 @@ def _bench_scene(scene_name: str, size, samples: int, tracer: str,
         "unit": "Mrays/s",
         "vs_baseline": round(value / 50.0, 4),
         "ms_per_sample": round(result.per_sample_seconds * 1e3, 1),
+        **line_extra,
     }
     if anchor:
         # Same-process anchor: the pinned round-3-close config, measured
