@@ -419,6 +419,35 @@ def test_pallas_streamed_matches_resident(scene_data):
     np.testing.assert_array_equal(np.asarray(strm_a), np.asarray(res_a))
 
 
+def test_pallas_streamed_pair_double_buffer_matches_resident(scene_data):
+    """pair_visits + stream now takes the DOUBLE-BUFFERED path (two
+    scratch slabs, the second cluster's DMA overlapping the first dense
+    test — VERDICT round 4 weak #5); results must stay bit-identical to
+    the resident one-visit walk (the packed min / occlusion max are
+    order-independent).  flat=False forces the hierarchical kernel, the
+    only one with a pair schedule."""
+    data, spec = scene_data
+    o, d = _rays(256, seed=11)
+    mask = jnp.ones((256,), bool)
+    res = TP.trace_closest(o, d, mask, data.sup_planes, data.clu_planes,
+                           data.tri_planes, spec.bvh, block=128,
+                           stream=False, flat=False)
+    strm = TP.trace_closest(o, d, mask, data.sup_planes, data.clu_planes,
+                            data.tri_planes, spec.bvh, block=128,
+                            stream=True, flat=False, pair_visits=True)
+    np.testing.assert_array_equal(np.asarray(strm.tri), np.asarray(res.tri))
+    np.testing.assert_array_equal(np.asarray(strm.t), np.asarray(res.t))
+    max_t = jnp.full((256,), 4.0)
+    res_a = TP.trace_any(o, d, max_t, mask, data.sup_planes, data.clu_planes,
+                         data.tri_planes, spec.bvh, block=128, stream=False,
+                         flat=False)
+    strm_a = TP.trace_any(o, d, max_t, mask, data.sup_planes,
+                          data.clu_planes, data.tri_planes, spec.bvh,
+                          block=128, stream=True, flat=False,
+                          pair_visits=True)
+    np.testing.assert_array_equal(np.asarray(strm_a), np.asarray(res_a))
+
+
 def test_pallas_scalar_seed_matches_chunk_seed(scene_data, monkeypatch):
     """The scalar-unrolled global seed (GLOBAL_SCALAR_MAX knob; SMEM plane
     scalars x (1, R) row tests) must agree with the default dense-chunk
